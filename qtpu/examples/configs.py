@@ -1,0 +1,84 @@
+"""Typed experiment configs — one per BASELINE.json required configuration.
+
+The reference drives experiments with argparse scripts (SURVEY.md §5.6 [K-med];
+mount empty, §0); here each required config (BASELINE.json:7-11) is a frozen
+dataclass, overridable from the CLI in ``qtpu.examples.run``.  No global flag
+state.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from qtpu.nn import LayerQuantSpec, QuantMode, QuantPolicy
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str
+    model: str                    # qtpu.models.get_model name
+    dataset: str                  # mnist | cifar10 | imagenet
+    num_classes: int
+    image_size: int
+    method: str                   # 'ptq' | 'qat' | 'online'
+    w_bits: int = 8
+    a_bits: int = 8
+    per_channel: bool = True
+    act_observer: str = "minmax"  # minmax | ema | kl
+    fold_bn: bool = True
+    exclude: Tuple[str, ...] = ()
+    cifar_stem: bool = False
+    # training / calibration budget (sized for the offline synthetic data;
+    # scale up via CLI overrides when real data is present)
+    fp32_epochs: int = 3
+    qat_epochs: int = 1
+    batch_size: int = 128
+    lr: float = 2e-3
+    qat_lr: float = 2e-4
+    calib_batches: int = 8
+    n_train: Optional[int] = 8192
+    n_eval: Optional[int] = 2048
+    serve: bool = False           # config 4: sharded serving path
+
+    def policy(self) -> QuantPolicy:
+        spec = LayerQuantSpec(w_bits=self.w_bits, a_bits=self.a_bits,
+                              per_channel=self.per_channel,
+                              act_observer=self.act_observer)
+        mode = {"ptq": QuantMode.QUANT, "qat": QuantMode.QUANT_EMA,
+                "online": QuantMode.QUANT_ONLINE}[self.method]
+        return QuantPolicy(default=spec, mode=mode, fold_bn=self.fold_bn,
+                           exclude=self.exclude)
+
+
+CONFIGS = {
+    # BASELINE.json:7 — config 1
+    "lenet_mnist_int8": ExperimentConfig(
+        name="lenet_mnist_int8", model="lenet5", dataset="mnist",
+        num_classes=10, image_size=28, method="ptq", per_channel=False,
+        act_observer="minmax"),
+    # BASELINE.json:8 — config 2
+    "resnet18_cifar10_int8_kl": ExperimentConfig(
+        name="resnet18_cifar10_int8_kl", model="resnet18", dataset="cifar10",
+        num_classes=10, image_size=32, method="ptq", per_channel=True,
+        act_observer="kl", cifar_stem=True, batch_size=64, fp32_epochs=4),
+    # BASELINE.json:9 — config 3 (ImageNet offline -> synthetic stand-in,
+    # documented; depthwise quant path exercised either way)
+    "mobilenetv2_imagenet_int8_qat": ExperimentConfig(
+        name="mobilenetv2_imagenet_int8_qat", model="mobilenet_v2",
+        dataset="imagenet", num_classes=1000, image_size=224, method="qat",
+        act_observer="ema", fold_bn=True, batch_size=16, n_train=2048,
+        n_eval=512, fp32_epochs=2, qat_epochs=1),
+    # BASELINE.json:10 — config 4
+    "resnet50_imagenet_int8_ptq": ExperimentConfig(
+        name="resnet50_imagenet_int8_ptq", model="resnet50",
+        dataset="imagenet", num_classes=1000, image_size=224, method="ptq",
+        per_channel=True, act_observer="minmax", fold_bn=True, batch_size=16,
+        n_train=2048, n_eval=512, fp32_epochs=2, serve=True),
+    # BASELINE.json:11 — config 5
+    "resnet50_int4w_int8a_qat": ExperimentConfig(
+        name="resnet50_int4w_int8a_qat", model="resnet50",
+        dataset="imagenet", num_classes=1000, image_size=224, method="qat",
+        w_bits=4, a_bits=8, act_observer="ema", fold_bn=True, batch_size=16,
+        n_train=2048, n_eval=512, fp32_epochs=2, qat_epochs=2,
+        exclude=("stem*", "fc")),
+}

@@ -1,0 +1,128 @@
+"""Experiment runner CLI: ``python -m qtpu.examples.run --config <name>``.
+
+Covers the reference's example-script layer (SURVEY.md §1.2 R1; mount empty,
+§0) for the five BASELINE.json configs: fp32 train → quantize (PTQ calibrate or
+QAT fine-tune) → eval, reporting fp32/quant top-1/top-5 and the delta as one
+JSON line (structured stdout per SURVEY.md §5.5).
+
+Any ExperimentConfig field can be overridden: ``--set fp32_epochs=5``.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from qtpu.data import load_dataset
+from qtpu.examples.configs import CONFIGS, ExperimentConfig
+from qtpu.models import get_model
+from qtpu.nn import QuantMode
+from qtpu.train import TrainState, evaluate, fit
+from qtpu.transform import calibrate, convert_model, set_mode
+from qtpu.utils.cache import enable_persistent_cache
+
+
+def build_model(cfg: ExperimentConfig, quant=None):
+    kwargs = dict(num_classes=cfg.num_classes, quant=quant)
+    if cfg.model in ("resnet18", "resnet50"):
+        kwargs["cifar_stem"] = cfg.cifar_stem
+    return get_model(cfg.model, **kwargs)
+
+
+def run_experiment(cfg: ExperimentConfig, seed: int = 0,
+                   verbose: bool = True) -> dict:
+    enable_persistent_cache()
+    key = jax.random.PRNGKey(seed)
+    train_ds = load_dataset(cfg.dataset, "train", n=cfg.n_train, seed=seed)
+    eval_ds = load_dataset(cfg.dataset, "test", n=cfg.n_eval, seed=seed)
+
+    # --- fp32 baseline ---
+    model = build_model(cfg)
+    state = fit(model, train_ds, epochs=cfg.fp32_epochs,
+                batch_size=cfg.batch_size, lr=cfg.lr, seed=seed,
+                log_every=50 if verbose else 0)
+    fp32_top1, fp32_top5 = evaluate(model, state.variables(), eval_ds,
+                                    cfg.batch_size)
+
+    # --- quantize ---
+    qmodel = convert_model(model, cfg.policy())
+    qvars = {**jax.jit(qmodel.init, static_argnames="train")(
+        key, jnp.asarray(train_ds.images[:2]), train=True),
+        **state.variables()}
+
+    if cfg.method == "ptq":
+        calib = [jnp.asarray(train_ds.images[i * cfg.batch_size:
+                                             (i + 1) * cfg.batch_size])
+                 for i in range(cfg.calib_batches)]
+        calib = [c for c in calib if len(c) == cfg.batch_size]
+        qvars = calibrate(qmodel, qvars, calib)
+        eval_model = set_mode(qmodel, QuantMode.QUANT)
+    elif cfg.method == "qat":
+        tx = optax.adamw(cfg.qat_lr)
+        qstate = TrainState(params=qvars.pop("params"), extra=qvars,
+                            opt_state=tx.init(state.params),
+                            step=jnp.zeros((), jnp.int32))
+        qstate = fit(qmodel, train_ds, epochs=cfg.qat_epochs,
+                     batch_size=cfg.batch_size, tx=tx, state=qstate,
+                     seed=seed + 1, log_every=50 if verbose else 0)
+        qvars = qstate.variables()
+        eval_model = qmodel          # QUANT_EMA: frozen stats used in eval
+    else:  # online
+        eval_model = qmodel
+
+    q_top1, q_top5 = evaluate(eval_model, qvars, eval_ds, cfg.batch_size)
+
+    result = {
+        "config": cfg.name,
+        "dataset": cfg.dataset,
+        "synthetic_data": bool(train_ds.synthetic),
+        "fp32_top1": round(fp32_top1, 4), "fp32_top5": round(fp32_top5, 4),
+        "quant_top1": round(q_top1, 4), "quant_top5": round(q_top5, 4),
+        "top1_delta": round(fp32_top1 - q_top1, 4),
+        "top5_delta": round(fp32_top5 - q_top5, 4),
+        "w_bits": cfg.w_bits, "a_bits": cfg.a_bits,
+        "method": cfg.method, "act_observer": cfg.act_observer,
+    }
+    print(json.dumps(result), flush=True)
+    return result
+
+
+def main(argv=None) -> int:
+    from qtpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", required=True, choices=sorted(CONFIGS))
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--set", action="append", default=[],
+                   help="override config fields, e.g. --set fp32_epochs=5")
+    p.add_argument("--quiet", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = CONFIGS[args.config]
+    for override in args.set:
+        k, _, v = override.partition("=")
+        if not hasattr(cfg, k):
+            p.error(f"unknown config field {k!r}")
+        field_type = type(getattr(cfg, k))
+        if field_type is bool:
+            value = v.lower() in ("1", "true", "yes")
+        elif field_type is tuple:
+            value = tuple(s for s in v.split(",") if s)
+        elif getattr(cfg, k) is None:
+            value = int(v)
+        else:
+            value = field_type(v)
+        cfg = dataclasses.replace(cfg, **{k: value})
+    run_experiment(cfg, seed=args.seed, verbose=not args.quiet)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

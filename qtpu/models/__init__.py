@@ -1,0 +1,25 @@
+"""Model zoo (Flax, NHWC) — the offline rebuild of the reference's gluoncv usage."""
+from qtpu.models.lenet import LeNet5
+from qtpu.models.mobilenet import MobileNetV1, MobileNetV2
+from qtpu.models.resnet import ResNet, ResNet18, ResNet50
+
+_REGISTRY = {
+    "lenet5": LeNet5,
+    "resnet18": ResNet18,
+    "resnet50": ResNet50,
+    "mobilenet_v1": MobileNetV1,
+    "mobilenet_v2": MobileNetV2,
+}
+
+
+def get_model(name: str, **kwargs):
+    """gluoncv-style ``get_model`` entry point (SURVEY.md §1.2 R6)."""
+    try:
+        return _REGISTRY[name.lower()](**kwargs)
+    except KeyError:
+        raise ValueError(
+            f"unknown model {name!r}; available: {sorted(_REGISTRY)}") from None
+
+
+__all__ = ["LeNet5", "MobileNetV1", "MobileNetV2", "ResNet", "ResNet18",
+           "ResNet50", "get_model"]

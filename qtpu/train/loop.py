@@ -1,0 +1,123 @@
+"""Training / evaluation loops: fp32 baseline training and STE-based QAT.
+
+Rebuild of the reference's example-script training flow (SURVEY.md §3.3; mount
+empty, §0): forward with fake-quant applied to live fp32 master weights, loss,
+backprop through the dequantized values into the masters (STE), optimizer step.
+Here that is an optax-driven jitted step; BN batch statistics and activation
+observer EMAs update through Flax mutable collections in the same step.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+from flax import struct
+
+from qtpu.data.datasets import Dataset, batches
+
+MUTABLE = ("batch_stats", "quant_stats")
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    extra: Dict[str, Any]          # batch_stats / quant_stats / quant_params
+    opt_state: Any
+    step: jax.Array
+
+    def variables(self) -> Dict[str, Any]:
+        return {"params": self.params, **self.extra}
+
+
+def create_train_state(model: nn.Module, key: jax.Array, sample: jax.Array,
+                       tx: optax.GradientTransformation) -> TrainState:
+    variables = jax.jit(model.init, static_argnames="train")(key, sample,
+                                                             train=True)
+    variables = dict(variables)
+    params = variables.pop("params")
+    return TrainState(params=params, extra=variables,
+                      opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def make_train_step(model: nn.Module, tx: optax.GradientTransformation,
+                    weight_decay_mask: Optional[Callable] = None):
+    """Jitted (state, x, y) -> (state, metrics) training step."""
+
+    mutable = list(MUTABLE)
+
+    @jax.jit
+    def step(state: TrainState, x, y):
+        def loss_fn(params):
+            out, mut = model.apply({"params": params, **state.extra}, x,
+                                   train=True, mutable=mutable)
+            return cross_entropy(out, y), (out, mut)
+
+        (loss, (logits, mut)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        extra = {**state.extra, **mut}
+        acc = jnp.mean(jnp.argmax(logits, -1) == y)
+        return (TrainState(params, extra, opt_state, state.step + 1),
+                {"loss": loss, "acc": acc})
+
+    return step
+
+
+def make_eval_step(model: nn.Module):
+    @jax.jit
+    def step(variables, x, y):
+        logits = model.apply(variables, x, train=False)
+        top1 = jnp.argmax(logits, -1) == y
+        top5 = jnp.any(jnp.argsort(logits, -1)[:, -5:] == y[:, None], axis=-1)
+        return jnp.sum(top1), jnp.sum(top5)
+
+    return step
+
+
+def evaluate(model: nn.Module, variables: Dict[str, Any], ds: Dataset,
+             batch_size: int = 256) -> Tuple[float, float]:
+    """(top-1, top-5) accuracy over a dataset."""
+    step = make_eval_step(model)
+    n = c1 = c5 = 0
+    for x, y in batches(ds, batch_size, shuffle=False, drop_remainder=True):
+        t1, t5 = step(variables, jnp.asarray(x), jnp.asarray(y))
+        c1 += int(t1); c5 += int(t5); n += len(y)
+    if n == 0:
+        return 0.0, 0.0
+    return c1 / n, c5 / n
+
+
+def fit(model: nn.Module, train_ds: Dataset, *, epochs: int = 1,
+        batch_size: int = 128, lr: float = 1e-3,
+        tx: Optional[optax.GradientTransformation] = None,
+        key: Optional[jax.Array] = None, state: Optional[TrainState] = None,
+        eval_ds: Optional[Dataset] = None, log_every: int = 0,
+        seed: int = 0) -> TrainState:
+    """Train ``model`` (fp32 or quantized — QAT works through the same loop)."""
+    key = key if key is not None else jax.random.PRNGKey(seed)
+    tx = tx if tx is not None else optax.adamw(lr)
+    if state is None:
+        sample = jnp.asarray(train_ds.images[:2])
+        state = create_train_state(model, key, sample, tx)
+    step = make_train_step(model, tx)
+    for epoch in range(epochs):
+        for i, (x, y) in enumerate(
+                batches(train_ds, batch_size, seed=seed + epoch)):
+            state, metrics = step(state, jnp.asarray(x), jnp.asarray(y))
+            if log_every and (i % log_every == 0):
+                print(f"epoch {epoch} step {i}: "
+                      f"loss={float(metrics['loss']):.4f} "
+                      f"acc={float(metrics['acc']):.3f}", flush=True)
+        if eval_ds is not None:
+            t1, t5 = evaluate(model, state.variables(), eval_ds, batch_size)
+            print(f"epoch {epoch}: eval top1={t1:.4f} top5={t5:.4f}", flush=True)
+    return state

@@ -1,0 +1,109 @@
+"""Mesh/sharding/serving tests on the 8-virtual-device CPU mesh (SURVEY §4.2)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qtpu.models import get_model
+from qtpu.nn import QuantPolicy
+from qtpu.parallel import (MODEL_AXIS, batch_sharding, make_mesh,
+                           shard_variables)
+from qtpu.serve import ServingEngine
+from qtpu.transform import calibrate, convert_model, freeze
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def frozen_lenet():
+    m = get_model("lenet5")
+    x = jax.random.normal(KEY, (8, 28, 28, 1))
+    qm = convert_model(m, QuantPolicy.int8_ptq())
+    qv = jax.jit(qm.init)(KEY, x)
+    qv = calibrate(qm, qv, [x])
+    sm, sv = freeze(qm, qv, x)
+    return sm, sv, x
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(dp=4, tp=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(dp=3, tp=2)
+
+
+def test_sharded_forward_matches_single_device(frozen_lenet):
+    sm, sv, x = frozen_lenet
+    y_ref = np.asarray(jax.jit(sm.apply)(sv, x))
+    mesh = make_mesh(dp=4, tp=2)
+    svs = shard_variables(sv, mesh)
+    # fc1 kernel (400, 120): 120 % 2 == 0 -> sharded over 'model'
+    fc1 = svs["qweights"]["fc1"]["kernel_q"]
+    assert any(MODEL_AXIS in str(s) for s in [fc1.sharding.spec])
+    xs = jax.device_put(x, batch_sharding(mesh))
+    y = np.asarray(jax.jit(sm.apply)(svs, xs))
+    np.testing.assert_allclose(y, y_ref, atol=1e-4, rtol=1e-4)
+
+
+def test_tp_only_mesh(frozen_lenet):
+    sm, sv, x = frozen_lenet
+    y_ref = np.asarray(jax.jit(sm.apply)(sv, x))
+    mesh = make_mesh(dp=1, tp=8)
+    svs = shard_variables(sv, mesh)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    y = np.asarray(jax.jit(sm.apply)(svs, xs))
+    np.testing.assert_allclose(y, y_ref, atol=1e-4, rtol=1e-4)
+
+
+def test_serving_engine_end_to_end(frozen_lenet):
+    sm, sv, x = frozen_lenet
+    y_ref = np.asarray(jax.jit(sm.apply)(sv, x))
+    eng = ServingEngine(sm, sv, mesh=make_mesh(dp=4, tp=2),
+                        batch_buckets=(1, 2, 4, 8), max_wait_ms=20.0)
+    try:
+        out = eng.predict(np.asarray(x))
+        np.testing.assert_allclose(out, y_ref, atol=1e-4, rtol=1e-4)
+        st = eng.stats()
+        assert st["images"] == 8
+        assert st["p99_ms"] > 0
+    finally:
+        eng.stop()
+
+
+def test_serving_engine_single_requests(frozen_lenet):
+    sm, sv, x = frozen_lenet
+    eng = ServingEngine(sm, sv, mesh=make_mesh(dp=1, tp=1,
+                                               devices=jax.devices()[:1]),
+                        batch_buckets=(1, 2, 4), max_wait_ms=1.0)
+    try:
+        futs = [eng.submit(np.asarray(x[i])) for i in range(3)]
+        outs = [f.result(timeout=120) for f in futs]
+        assert all(o.shape == (10,) for o in outs)
+    finally:
+        eng.stop()
+
+
+def test_dp_train_step_on_mesh():
+    """QAT train step under jit with a data-sharded batch: grads come out
+    replicated (XLA inserts the psum) and params stay replicated."""
+    import optax
+    from qtpu.train import create_train_state, make_train_step
+
+    model = get_model("lenet5", quant=QuantPolicy.int8_qat())
+    x = jax.random.normal(KEY, (16, 28, 28, 1))
+    y = jnp.zeros((16,), jnp.int32)
+    tx = optax.sgd(1e-2)
+    state = create_train_state(model, KEY, x[:2], tx)
+    step = make_train_step(model, tx)
+    mesh = make_mesh(dp=8, tp=1)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    ys = jax.device_put(y, batch_sharding(mesh))
+    state2, metrics = step(state, xs, ys)
+    assert jnp.isfinite(metrics["loss"])
+    # params remain fully addressable/replicated after the update
+    k = state2.params["conv1"]["kernel"]
+    assert k.shape == (5, 5, 1, 6)
