@@ -1,0 +1,124 @@
+"""Pallas TPU kernel: fused int8 quantized matmul with dequant epilogue.
+
+The performance-bearing serving primitive (SURVEY.md §2.2 "Fused
+quantize→matmul→dequantize"; mount empty, §0 — design per pallas_guide.md, not
+translated from the reference, which has no native kernels).
+
+Computes, in one kernel pass on the MXU int8 path::
+
+    out[m, n] = act_scale * w_scale[n] * (Σ_k x_q[m,k]·w_q[k,n]
+                                          − act_zp * colsum[n]) + bias[n]
+
+* grid (M/bm, N/bn, K/bk), K innermost ("arbitrary"), int32 accumulator held
+  in VMEM scratch across K steps;
+* the dequant epilogue (zero-point correction, per-channel scales, bias) runs
+  on the VPU on the final K step while the accumulator tile is still in VMEM —
+  no extra HBM round-trip for the int32 accumulator;
+* per-channel vectors are passed as (1, N) rows so their blocks ride the lane
+  dimension; scalars live in SMEM.
+
+The XLA reference implementation (``qtpu.ops.qops``) is the numerical oracle:
+tests assert exact match on the integer accumulator and float-exact epilogue.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
+            out_ref, acc_ref, *, requant: bool):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _epilogue():
+        act_scale = scal_ref[0, 0]
+        zp = zp_ref[0, 0]
+        corrected = acc_ref[:] - zp * cs_ref[:]          # int32, exact
+        y = corrected.astype(jnp.float32) * (act_scale * ws_ref[:]) + b_ref[:]
+        if requant:
+            # fused requantization of the next activation: symmetric grid with
+            # the next layer's scale folded in by the caller (scal_ref[0,1]).
+            inv = scal_ref[0, 1]
+            y = jnp.clip(jnp.round(y * inv), -127, 127)
+        out_ref[:] = y.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype", "interpret"))
+def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
+                  w_scale: Array, colsum: Array, bias: Optional[Array] = None,
+                  requant_scale: Optional[Array] = None,
+                  bm: int = 1024, bn: int = 512, bk: int = 4096,
+                  out_dtype=jnp.float32, interpret: bool = False) -> Array:
+    """int8 (M,K) × int8 (K,N) → out_dtype (M,N) with fused dequant.
+
+    Shapes must tile evenly (pad at the call site; serving shapes are static).
+    ``w_scale``/``colsum``/``bias`` are (N,); ``act_scale`` scalar f32;
+    ``act_zp`` scalar int32 (0 for symmetric activations).
+
+    ``requant_scale``: if given (with ``out_dtype=jnp.int8``), the epilogue
+    also requantizes onto the next layer's symmetric int8 grid — the full
+    quantize→matmul→dequantize→requantize chain stays in VMEM, quartering the
+    HBM write traffic vs an f32 output.
+    """
+    M, K = x_q.shape
+    K2, N = w_q.shape
+    assert K == K2, (x_q.shape, w_q.shape)
+    bm, bn, bk = min(bm, M), min(bn, N), min(bk, K)
+    assert M % bm == 0 and N % bn == 0 and K % bk == 0, (
+        f"shapes ({M},{N},{K}) must tile by ({bm},{bn},{bk})")
+    if bias is None:
+        bias = jnp.zeros((N,), jnp.float32)
+    requant = requant_scale is not None
+    inv = (1.0 / jnp.maximum(jnp.asarray(requant_scale, jnp.float32), 1e-12)
+           if requant else jnp.zeros((), jnp.float32))
+    scal = jnp.stack([jnp.asarray(act_scale, jnp.float32).reshape(()),
+                      inv.reshape(())]).reshape(1, 2)
+    zp = jnp.asarray(act_zp, jnp.int32).reshape(1, 1)
+    ws = jnp.asarray(w_scale, jnp.float32).reshape(1, N)
+    cs = jnp.asarray(colsum, jnp.int32).reshape(1, N)
+    b = jnp.asarray(bias, jnp.float32).reshape(1, N)
+
+    grid = (M // bm, N // bn, K // bk)
+    return pl.pallas_call(
+        functools.partial(_kernel, requant=requant),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + K * N + M * N * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(scal, zp, x_q, w_q, ws, cs, b)

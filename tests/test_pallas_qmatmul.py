@@ -1,0 +1,77 @@
+"""Pallas fused int8 matmul vs the XLA oracle (interpret mode on CPU).
+
+On TPU the same assertions run compiled (SURVEY.md §4.2 "Pallas kernels vs
+pure-JAX reference ... exact int match on the quantized accumulator"); the
+real-chip perf run lives in the bench harness, not the test suite.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qtpu.ops import qops
+from qtpu.ops.pallas.qmatmul import qmatmul_fused
+
+KEY = jax.random.PRNGKey(0)
+INTERPRET = jax.devices()[0].platform != "tpu"
+
+
+def _setup(M=256, K=512, N=256):
+    xq = jax.random.randint(KEY, (M, K), -127, 128, dtype=jnp.int8)
+    wq = jax.random.randint(jax.random.fold_in(KEY, 1), (K, N), -127, 128,
+                            dtype=jnp.int8)
+    ws = jax.random.uniform(jax.random.fold_in(KEY, 2), (N,), jnp.float32,
+                            0.001, 0.01)
+    cs = jnp.sum(wq.astype(jnp.int32), axis=0)
+    b = jax.random.normal(jax.random.fold_in(KEY, 3), (N,))
+    return xq, wq, ws, cs, b
+
+
+@pytest.mark.parametrize("zp", [0, 5, -7])
+def test_exact_vs_oracle(zp):
+    xq, wq, ws, cs, b = _setup()
+    y = qmatmul_fused(xq, wq, act_scale=jnp.float32(0.02),
+                      act_zp=jnp.int32(zp), w_scale=ws, colsum=cs, bias=b,
+                      bm=128, bn=128, bk=256, interpret=INTERPRET)
+    acc = qops.qmatmul(xq, wq)
+    ref = qops.dequant_epilogue(acc, act_scale=jnp.float32(0.02),
+                                act_zp=jnp.int32(zp), w_scale=ws, colsum=cs,
+                                bias=b)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+
+def test_requant_path_exact():
+    xq, wq, ws, cs, b = _setup()
+    y8 = qmatmul_fused(xq, wq, act_scale=jnp.float32(0.02),
+                       act_zp=jnp.int32(5), w_scale=ws, colsum=cs, bias=b,
+                       requant_scale=jnp.float32(0.05), out_dtype=jnp.int8,
+                       bm=128, bn=128, bk=256, interpret=INTERPRET)
+    acc = qops.qmatmul(xq, wq)
+    ref = qops.dequant_epilogue(acc, act_scale=jnp.float32(0.02),
+                                act_zp=jnp.int32(5), w_scale=ws, colsum=cs,
+                                bias=b)
+    ref8 = jnp.clip(jnp.round(ref / 0.05), -127, 127).astype(jnp.int8)
+    assert y8.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(y8), np.asarray(ref8))
+
+
+def test_multi_k_step_accumulation():
+    """K split over several grid steps must accumulate exactly."""
+    xq, wq, ws, cs, b = _setup(M=128, K=1024, N=128)
+    y = qmatmul_fused(xq, wq, act_scale=jnp.float32(0.01),
+                      act_zp=jnp.int32(3), w_scale=ws, colsum=cs, bias=b,
+                      bm=128, bn=128, bk=256, interpret=INTERPRET)
+    acc = qops.qmatmul(xq, wq)
+    ref = qops.dequant_epilogue(acc, act_scale=jnp.float32(0.01),
+                                act_zp=jnp.int32(3), w_scale=ws, colsum=cs,
+                                bias=b)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+
+def test_misaligned_shape_raises():
+    # K=500 does not tile by bk=256 (and is not clamped since 500 > 256)
+    xq, wq, ws, cs, b = _setup(M=128, K=500, N=256)
+    with pytest.raises(AssertionError):
+        qmatmul_fused(xq, wq, act_scale=jnp.float32(0.02),
+                      act_zp=jnp.int32(0), w_scale=ws, colsum=cs,
+                      bm=128, bn=128, bk=256, interpret=INTERPRET)
