@@ -34,7 +34,7 @@ Array = jax.Array
 
 
 def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
-            out_ref, acc_ref, *, requant: bool):
+            out_ref, acc_ref, *, requant: bool, relu: bool):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -51,21 +51,26 @@ def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
         zp = zp_ref[0, 0]
         corrected = acc_ref[:] - zp * cs_ref[:]          # int32, exact
         y = corrected.astype(jnp.float32) * (act_scale * ws_ref[:]) + b_ref[:]
+        if relu:
+            y = jnp.maximum(y, 0.0)
         if requant:
-            # fused requantization of the next activation: symmetric grid with
-            # the next layer's scale folded in by the caller (scal_ref[0,1]).
-            inv = scal_ref[0, 1]
-            y = jnp.clip(jnp.round(y * inv), -127, 127)
+            # fused requantization onto the next layer's calibrated affine
+            # grid: q = clip(round(y/s + zp_u), lo, 255) - 128.  Symmetric
+            # grids pass zp_u=128, lo=1 (≡ clip(round(y/s), -127, 127)).
+            q = jnp.round(y * scal_ref[0, 1]) + scal_ref[0, 2]
+            y = jnp.clip(q, scal_ref[0, 3], 255.0) - 128.0
         out_ref[:] = y.astype(out_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype", "interpret"))
+    jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype", "interpret", "relu"))
 def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
                   w_scale: Array, colsum: Array, bias: Optional[Array] = None,
                   requant_scale: Optional[Array] = None,
+                  requant_zp: Optional[Array] = None,
                   bm: int = 1024, bn: int = 512, bk: int = 4096,
-                  out_dtype=jnp.float32, interpret: bool = False) -> Array:
+                  out_dtype=jnp.float32, interpret: bool = False,
+                  relu: bool = False) -> Array:
     """int8 (M,K) × int8 (K,N) → out_dtype (M,N) with fused dequant.
 
     Shapes must tile evenly (pad at the call site; serving shapes are static).
@@ -88,8 +93,15 @@ def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
     requant = requant_scale is not None
     inv = (1.0 / jnp.maximum(jnp.asarray(requant_scale, jnp.float32), 1e-12)
            if requant else jnp.zeros((), jnp.float32))
+    if requant_zp is None:   # symmetric requant grid
+        rzp = jnp.float32(128.0)
+        rlo = jnp.float32(1.0)
+    else:                    # affine: zp is the signed-grid int zero point
+        rzp = jnp.asarray(requant_zp, jnp.float32) + 128.0
+        rlo = jnp.float32(0.0)
     scal = jnp.stack([jnp.asarray(act_scale, jnp.float32).reshape(()),
-                      inv.reshape(())]).reshape(1, 2)
+                      inv.reshape(()), rzp.reshape(()),
+                      rlo.reshape(())]).reshape(1, 4)
     zp = jnp.asarray(act_zp, jnp.int32).reshape(1, 1)
     ws = jnp.asarray(w_scale, jnp.float32).reshape(1, N)
     cs = jnp.asarray(colsum, jnp.int32).reshape(1, N)
@@ -97,10 +109,10 @@ def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
 
     grid = (M // bm, N // bn, K // bk)
     return pl.pallas_call(
-        functools.partial(_kernel, requant=requant),
+        functools.partial(_kernel, requant=requant, relu=relu),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i, j, k: (0, 0),
+            pl.BlockSpec((1, 4), lambda i, j, k: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
                          memory_space=pltpu.SMEM),

@@ -1,0 +1,48 @@
+"""ResNet int8 engine vs the module SERVE path (CPU, XLA ops only).
+
+The engine's single-grid chaining (one quantization per tensor, reused by
+both consumers) deviates from the module path by less than a quantization
+step per layer; the assertion is argmax agreement + bounded relative error.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qtpu.models import get_model
+from qtpu.nn import QuantPolicy
+from qtpu.serve.resnet_engine import ResNetInt8Engine
+from qtpu.transform import calibrate, convert_model, freeze
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.mark.parametrize("bottleneck", [False, True])
+def test_engine_matches_module_serve(bottleneck):
+    name = "resnet50" if bottleneck else "resnet18"
+    m = get_model(name, num_classes=10, cifar_stem=True)
+    if bottleneck:  # shrink ResNet-50 for CPU test time
+        m = m.clone(stage_sizes=(1, 1, 1, 1))
+    x = jax.random.normal(KEY, (4, 32, 32, 3))
+    qm = convert_model(m, QuantPolicy.int8_ptq())
+    v = dict(jax.jit(qm.init, static_argnames="train")(KEY, x, train=True))
+    tr = jax.jit(lambda v, xx: qm.apply(
+        v, xx, train=True, mutable=["batch_stats", "quant_stats"]))
+    for i in range(2):
+        _, mut = tr(v, jax.random.normal(jax.random.fold_in(KEY, i),
+                                         (4, 32, 32, 3)))
+        v.update(mut)
+    v = calibrate(qm, v, [x])
+    sm, sv = freeze(qm, v, x)
+    y_module = jax.jit(sm.apply)(sv, x)
+
+    arch = dict(stage_sizes=(1, 1, 1, 1) if bottleneck else (2, 2, 2, 2),
+                width=64, bottleneck=bottleneck, cifar_stem=True,
+                num_classes=10)
+    eng = ResNetInt8Engine(sv, arch, use_pallas=False)
+    y_eng = eng.forward(x)
+    rel = float(jnp.linalg.norm(y_eng - y_module) /
+                jnp.linalg.norm(y_module))
+    assert rel < 0.10, f"engine deviates too much: rel={rel}"
+    agree = float(jnp.mean(jnp.argmax(y_eng, -1) == jnp.argmax(y_module, -1)))
+    assert agree == 1.0
