@@ -1,0 +1,94 @@
+"""Driver bench harness: ResNet-50 INT8 images/sec/chip on the live TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N, ...}
+
+``vs_baseline`` is the fraction of the single-chip int8 *compute roofline*
+(394 TOPS nominal for v5e / 8.18 GOP per ResNet-50 image ≈ 48.2k img/s) —
+the reference repo has no published throughput numbers (BASELINE.md:
+``published: {}``), so the roofline ratio is the honest denominator and maps
+directly onto the north star's ≥90%-of-roofline target.
+
+Weights are randomly initialized and calibrated on random data: int8 serving
+throughput is independent of weight values, and accuracy deltas are measured
+separately (qtpu.examples / tests).
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    from qtpu.utils.cache import enable_persistent_cache
+    from qtpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
+    enable_persistent_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from qtpu.bench.timing import time_scan_fit
+    from qtpu.models import get_model
+    from qtpu.nn import QuantPolicy
+    from qtpu.serve.resnet_engine import ResNetInt8Engine
+    from qtpu.transform import calibrate, convert_model, freeze
+
+    key = jax.random.PRNGKey(0)
+    platform = jax.devices()[0].platform
+
+    model = get_model("resnet50", num_classes=1000, cifar_stem=False)
+    x0 = jax.random.normal(key, (8, 224, 224, 3))
+    qmodel = convert_model(model, QuantPolicy.int8_ptq())
+    qvars = jax.jit(qmodel.init, static_argnames="train")(key, x0, train=True)
+    qvars = calibrate(qmodel, dict(qvars), [x0])
+    _, svars = freeze(qmodel, qvars, x0)
+    arch = dict(stage_sizes=(3, 4, 6, 3), width=64, bottleneck=True,
+                cifar_stem=False, num_classes=1000)
+
+    ops_per_image = 2 * 4.089e9           # ResNet-50 fwd multiply-adds * 2
+    peak_int8 = 394e12                    # v5e nominal int8 OPS
+    roofline_img_s = peak_int8 / ops_per_image
+
+    best = None
+    configs = ([(32, True), (64, True), (32, False)] if platform == "tpu"
+               else [(8, False)])
+    for batch, use_pallas in configs:
+        try:
+            eng = ResNetInt8Engine(svars, arch, use_pallas=use_pallas)
+            x = jax.random.normal(key, (batch, 224, 224, 3))
+
+            def body(c):
+                return c + 0.0 * jnp.sum(eng._forward(c))
+
+            dt = time_scan_fit(body, x, n_short=5, n_long=20)
+            img_s = batch / dt
+            if best is None or img_s > best[0]:
+                best = (img_s, batch, use_pallas)
+        except Exception as e:  # pragma: no cover
+            print(f"config B={batch} pallas={use_pallas} failed: {e}",
+                  file=sys.stderr)
+    if best is None:
+        print(json.dumps({"metric": "resnet50_int8_images_per_sec_chip",
+                          "value": 0.0, "unit": "images/sec/chip",
+                          "vs_baseline": 0.0, "error": "all configs failed"}))
+        return 1
+
+    img_s, batch, use_pallas = best
+    print(json.dumps({
+        "metric": "resnet50_int8_images_per_sec_chip",
+        "value": round(img_s, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_s / roofline_img_s, 4),
+        "batch": batch,
+        "pallas_1x1": use_pallas,
+        "platform": platform,
+        "roofline_img_s": round(roofline_img_s, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,7 +34,11 @@ Array = jax.Array
 
 
 def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
-            out_ref, acc_ref, *, requant: bool, relu: bool):
+            *rest, requant: bool, relu: bool, residual: bool):
+    if residual:
+        res_ref, out_ref, acc_ref = rest
+    else:
+        out_ref, acc_ref = rest
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -51,6 +55,14 @@ def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
         zp = zp_ref[0, 0]
         corrected = acc_ref[:] - zp * cs_ref[:]          # int32, exact
         y = corrected.astype(jnp.float32) * (act_scale * ws_ref[:]) + b_ref[:]
+        if residual:
+            # fused residual add: int8 codes dequantized on their own grid
+            # (identity skip branches add ZERO extra f32 HBM traffic).
+            r = res_ref[:]
+            if r.dtype == jnp.int8:
+                y = y + (r.astype(jnp.float32) - scal_ref[0, 5]) * scal_ref[0, 4]
+            else:
+                y = y + r.astype(jnp.float32)
         if relu:
             y = jnp.maximum(y, 0.0)
         if requant:
@@ -68,6 +80,9 @@ def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
                   w_scale: Array, colsum: Array, bias: Optional[Array] = None,
                   requant_scale: Optional[Array] = None,
                   requant_zp: Optional[Array] = None,
+                  residual: Optional[Array] = None,
+                  res_scale: Optional[Array] = None,
+                  res_zp: Optional[Array] = None,
                   bm: int = 1024, bn: int = 512, bk: int = 4096,
                   out_dtype=jnp.float32, interpret: bool = False,
                   relu: bool = False) -> Array:
@@ -99,29 +114,40 @@ def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
     else:                    # affine: zp is the signed-grid int zero point
         rzp = jnp.asarray(requant_zp, jnp.float32) + 128.0
         rlo = jnp.float32(0.0)
+    rs = (jnp.asarray(res_scale, jnp.float32) if res_scale is not None
+          else jnp.zeros((), jnp.float32))
+    rz = (jnp.asarray(res_zp, jnp.float32) if res_zp is not None
+          else jnp.zeros((), jnp.float32))
     scal = jnp.stack([jnp.asarray(act_scale, jnp.float32).reshape(()),
-                      inv.reshape(()), rzp.reshape(()),
-                      rlo.reshape(())]).reshape(1, 4)
+                      inv.reshape(()), rzp.reshape(()), rlo.reshape(()),
+                      rs.reshape(()), rz.reshape(())]).reshape(1, 6)
     zp = jnp.asarray(act_zp, jnp.int32).reshape(1, 1)
     ws = jnp.asarray(w_scale, jnp.float32).reshape(1, N)
     cs = jnp.asarray(colsum, jnp.int32).reshape(1, N)
     b = jnp.asarray(bias, jnp.float32).reshape(1, N)
 
     grid = (M // bm, N // bn, K // bk)
+    in_specs = [
+        pl.BlockSpec((1, 6), lambda i, j, k: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+        pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+        pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+        pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+        pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+    ]
+    inputs = [scal, zp, x_q, w_q, ws, cs, b]
+    if residual is not None:
+        assert residual.shape == (M, N), residual.shape
+        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)))
+        inputs.append(residual)
     return pl.pallas_call(
-        functools.partial(_kernel, requant=requant, relu=relu),
+        functools.partial(_kernel, requant=requant, relu=relu,
+                          residual=residual is not None),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 4), lambda i, j, k: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
-            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
-            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
-            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
@@ -133,4 +159,4 @@ def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
             bytes_accessed=M * K + K * N + M * N * 4,
             transcendentals=0),
         interpret=interpret,
-    )(scal, zp, x_q, w_q, ws, cs, b)
+    )(*inputs)

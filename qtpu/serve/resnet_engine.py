@@ -28,11 +28,20 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from qtpu.ops import fakequant as fq
 from qtpu.ops import qops
 from qtpu.ops.pallas.qmatmul import qmatmul_fused
 
 Array = jax.Array
 Grid = Tuple[Array, Array]  # (act_scale f32, act_zp int32 signed)
+
+
+def _unpacked_kernel(node: Dict[str, Array]) -> Array:
+    """int8 weights of a frozen node, unpacking int4 nibbles if needed."""
+    w = node["kernel_q"]
+    if w.shape[-1] != node["colsum"].shape[0]:   # int4 nibble-packed
+        w = fq.unpack_int4(w, axis=-1)
+    return w
 
 
 def _best_tile(n: int, candidates=(1024, 512, 256, 128, 64, 32, 16, 8)) -> int:
@@ -55,10 +64,13 @@ class ResNetInt8Engine:
     """
 
     def __init__(self, variables: Dict[str, Any], arch: Dict[str, Any],
-                 use_pallas: bool = True):
+                 use_pallas: bool = True, min_ci_pallas: int = 64):
         self.qw = variables["qweights"]
         self.arch = dict(arch)
         self.use_pallas = use_pallas
+        # Pallas GEMMs win for K >= this channel count; thinner contractions
+        # (half-empty MXU) go to XLA whose conv fusion handles them better.
+        self.min_ci_pallas = min_ci_pallas
         self.forward = jax.jit(self._forward)
 
     # -- frozen-node helpers ---------------------------------------------
@@ -81,18 +93,27 @@ class ResNetInt8Engine:
     # -- fused layer primitives ------------------------------------------
 
     def _gemm(self, x_q: Array, node: Dict[str, Array], *, relu: bool,
-              requant: Optional[Grid], out_dtype) -> Array:
+              requant: Optional[Grid], out_dtype,
+              residual: Optional[Array] = None,
+              res_grid: Optional[Grid] = None) -> Array:
         B, H, W, Ci = x_q.shape
-        w = node["kernel_q"].reshape(node["kernel_q"].shape[-2:])
+        w = _unpacked_kernel(node)
+        w = w.reshape(w.shape[-2:])
         Co = w.shape[-1]
         M = B * H * W
         rs, rz = (requant if requant is not None else (None, None))
-        if self.use_pallas and M % 8 == 0 and Co % 8 == 0 and Ci % 128 == 0:
+        if (self.use_pallas and M % 32 == 0 and Co % 32 == 0
+                and Ci % 64 == 0 and Ci >= self.min_ci_pallas):
+            res2 = (residual.reshape(M, Co) if residual is not None else None)
+            res_s = res_grid[0] if res_grid is not None else None
+            res_z = (res_grid[1].astype(jnp.float32)
+                     if res_grid is not None else None)
             y = qmatmul_fused(
                 x_q.reshape(M, Ci), w,
                 act_scale=node["act_scale"], act_zp=node["act_zp"],
                 w_scale=node["w_scale"], colsum=node["colsum"],
                 bias=node["bias"], requant_scale=rs, requant_zp=rz, relu=relu,
+                residual=res2, res_scale=res_s, res_zp=res_z,
                 bm=_best_tile(M), bn=_best_tile(Co, (512, 256, 128, 64, 32)),
                 bk=min(Ci, 4096), out_dtype=out_dtype)
             return y.reshape(B, H, W, Co)
@@ -101,6 +122,12 @@ class ResNetInt8Engine:
                                   act_zp=node["act_zp"],
                                   w_scale=node["w_scale"],
                                   colsum=node["colsum"], bias=node["bias"])
+        if residual is not None:
+            r = residual.reshape(M, Co)
+            if r.dtype == jnp.int8:
+                r = (r.astype(jnp.float32)
+                     - res_grid[1].astype(jnp.float32)) * res_grid[0]
+            y = y + r
         if relu:
             y = jnp.maximum(y, 0.0)
         if requant is not None:
@@ -109,7 +136,7 @@ class ResNetInt8Engine:
 
     def _conv_xla(self, x_q: Array, node: Dict[str, Array], *, strides,
                   relu: bool, requant: Optional[Grid]) -> Array:
-        acc = qops.qconv2d(x_q, node["kernel_q"], strides=strides,
+        acc = qops.qconv2d(x_q, _unpacked_kernel(node), strides=strides,
                            padding="SAME", zp=node["act_zp"])
         y = qops.dequant_epilogue(acc, act_scale=node["act_scale"],
                                   act_zp=node["act_zp"],
@@ -152,15 +179,17 @@ class ResNetInt8Engine:
                        out_dtype=jnp.int8)
         b = self._conv_xla(a, c2, strides=strides, relu=True,
                            requant=_grid_of(c3))
-        c = self._gemm(b, c3, relu=False, requant=None,
-                       out_dtype=jnp.float32)
         if down is not None:
-            r = self._gemm(x_q[:, ::strides[0], ::strides[1], :], down,
-                           relu=False, requant=None, out_dtype=jnp.float32)
+            res = self._gemm(x_q[:, ::strides[0], ::strides[1], :], down,
+                             relu=False, requant=None, out_dtype=jnp.float32)
+            res_grid = None          # f32 residual (4 blocks only)
         else:
-            r = self._dequant(x_q, x_grid)
-        y = jnp.maximum(c + r, 0.0)
-        return qops.quantize_act(y, next_grid[0], next_grid[1])
+            res = x_q                # int8 codes reused: zero extra traffic
+            res_grid = x_grid
+        # project 1x1 with residual add + relu + requant fused in the epilogue
+        return self._gemm(b, c3, relu=True, requant=next_grid,
+                          out_dtype=jnp.int8, residual=res,
+                          res_grid=res_grid)
 
     def _basic(self, x_q: Array, x_grid: Grid, name: str, strides,
                next_grid: Grid) -> Array:
@@ -197,7 +226,7 @@ class ResNetInt8Engine:
             grid = nxt
         pooled = jnp.mean(self._dequant(x_q, grid), axis=(1, 2))
         x_fc_q = qops.quantize_act(pooled, fc["act_scale"], fc["act_zp"])
-        acc = qops.qmatmul(x_fc_q, fc["kernel_q"])
+        acc = qops.qmatmul(x_fc_q, _unpacked_kernel(fc))
         return qops.dequant_epilogue(
             acc, act_scale=fc["act_scale"], act_zp=fc["act_zp"],
             w_scale=fc["w_scale"], colsum=fc["colsum"], bias=fc["bias"])
