@@ -1,0 +1,59 @@
+"""Native C++ preprocessing library vs the numpy/JAX oracle."""
+import numpy as np
+import pytest
+
+from qtpu.data import native
+
+RNG = np.random.default_rng(0)
+MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _numpy_quantize(images, scale, zp_signed):
+    x = (images.astype(np.float32) / 255.0 - MEAN) / STD
+    q = np.round(x / scale + (zp_signed + 128))
+    return (np.clip(q, 0, 255) - 128).astype(np.int8)
+
+
+def test_native_library_builds():
+    lib = native.load_native()
+    assert lib is not None, "g++ build of native/preprocess.cpp failed"
+    assert lib.qtpu_native_version() == 1
+
+
+def test_quantize_matches_numpy_oracle():
+    imgs = RNG.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    out = native.preprocess_quantize(imgs, MEAN, STD, scale=0.02, zp_signed=5)
+    ref = _numpy_quantize(imgs, 0.02, 5)
+    mismatch = int((out != ref).sum())
+    # std::nearbyint and np.round agree (both round-half-to-even)
+    assert mismatch == 0, f"{mismatch} mismatching codes"
+
+
+def test_f32_matches_numpy():
+    imgs = RNG.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8)
+    out = native.preprocess_f32(imgs, MEAN, STD)
+    ref = ((imgs.astype(np.float32) / 255.0 - MEAN) / STD).astype(np.float32)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_multithreaded_deterministic():
+    imgs = RNG.integers(0, 256, (16, 64, 64, 3), dtype=np.uint8)
+    a = native.preprocess_quantize(imgs, MEAN, STD, 0.02, 0, threads=1)
+    b = native.preprocess_quantize(imgs, MEAN, STD, 0.02, 0, threads=8)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_throughput_sane():
+    """Native path should beat numpy comfortably on a big batch."""
+    import time
+    if native.load_native() is None:
+        pytest.skip("no native lib")
+    imgs = RNG.integers(0, 256, (64, 224, 224, 3), dtype=np.uint8)
+    t0 = time.perf_counter()
+    native.preprocess_quantize(imgs, MEAN, STD, 0.02, 5)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _numpy_quantize(imgs, 0.02, 5)
+    t_numpy = time.perf_counter() - t0
+    assert t_native < t_numpy, (t_native, t_numpy)
