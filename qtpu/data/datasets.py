@@ -64,15 +64,22 @@ def _smooth_prototypes(rng: np.random.Generator, num_classes: int,
 
 def synthetic_dataset(name: str, split: str, n: Optional[int] = None,
                       noise: float = 0.25, seed: int = 0) -> Dataset:
-    """Deterministic synthetic stand-in shaped like the named dataset."""
+    """Deterministic synthetic stand-in shaped like the named dataset.
+
+    The number of *distinct* labels is capped so the task stays learnable at
+    small n (a 1000-way task with one image per class measures nothing);
+    labels remain valid for the dataset's nominal class count, so models keep
+    their real output dimension and accuracy *deltas* stay meaningful.
+    """
     spec = _SPECS[name]
     shape, num_classes = spec["shape"], spec["num_classes"]
     if n is None:
         n = 10_000 if split == "train" else 2_000
+    effective = min(num_classes, 50)     # split-independent, learnable at small n
     proto_rng = np.random.default_rng(seed + 12345)      # split-independent
-    protos = _smooth_prototypes(proto_rng, num_classes, shape)
+    protos = _smooth_prototypes(proto_rng, effective, shape)
     rng = np.random.default_rng(seed + (0 if split == "train" else 777))
-    labels = rng.integers(0, num_classes, size=n).astype(np.int32)
+    labels = rng.integers(0, effective, size=n).astype(np.int32)
     imgs = protos[labels].copy()
     # brightness/contrast jitter
     imgs *= rng.uniform(0.7, 1.3, size=(n, 1, 1, 1)).astype(np.float32)
