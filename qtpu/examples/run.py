@@ -35,18 +35,35 @@ def build_model(cfg: ExperimentConfig, quant=None):
     return get_model(cfg.model, **kwargs)
 
 
-def run_experiment(cfg: ExperimentConfig, seed: int = 0,
-                   verbose: bool = True) -> dict:
+def run_experiment(cfg: ExperimentConfig, seed: int = 0, verbose: bool = True,
+                   save_state: Optional[str] = None,
+                   load_state: Optional[str] = None) -> dict:
     enable_persistent_cache()
     key = jax.random.PRNGKey(seed)
     train_ds = load_dataset(cfg.dataset, "train", n=cfg.n_train, seed=seed)
     eval_ds = load_dataset(cfg.dataset, "test", n=cfg.n_eval, seed=seed)
 
-    # --- fp32 baseline ---
+    # --- fp32 baseline (train, or resume from an orbax checkpoint) ---
     model = build_model(cfg)
-    state = fit(model, train_ds, epochs=cfg.fp32_epochs,
-                batch_size=cfg.batch_size, lr=cfg.lr, seed=seed,
-                log_every=50 if verbose else 0)
+    if load_state:
+        from qtpu.train import create_train_state
+        from qtpu.utils import checkpoint as ckpt
+
+        tx = optax.adamw(cfg.lr)
+        state = create_train_state(model, key,
+                                   jnp.asarray(train_ds.images[:2]), tx)
+        restored = ckpt.load(load_state, target=state.variables())
+        state = state.replace(params=restored["params"],
+                              extra={k: v for k, v in restored.items()
+                                     if k != "params"})
+    else:
+        state = fit(model, train_ds, epochs=cfg.fp32_epochs,
+                    batch_size=cfg.batch_size, lr=cfg.lr, seed=seed,
+                    log_every=50 if verbose else 0)
+    if save_state:
+        from qtpu.utils import checkpoint as ckpt
+
+        ckpt.save(save_state, dict(state.variables()))
     fp32_top1, fp32_top5 = evaluate(model, state.variables(), eval_ds,
                                     cfg.batch_size)
 
@@ -78,6 +95,33 @@ def run_experiment(cfg: ExperimentConfig, seed: int = 0,
 
     q_top1, q_top5 = evaluate(eval_model, qvars, eval_ds, cfg.batch_size)
 
+    serve_stats = None
+    if cfg.serve:
+        # BASELINE.json config 4: freeze to integer weights and serve the
+        # eval set through the sharded continuous-batching engine.
+        from qtpu.parallel import make_mesh
+        from qtpu.serve import ServingEngine
+        from qtpu.transform import freeze
+
+        smodel, svars = freeze(eval_model, qvars,
+                               jnp.asarray(train_ds.images[:2]))
+        n_dev = len(jax.devices())
+        tp = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
+        engine = ServingEngine(smodel, svars,
+                               mesh=make_mesh(dp=n_dev // tp, tp=tp),
+                               batch_buckets=(cfg.batch_size,))
+        shape = eval_ds.images.shape[1:]
+        engine.warmup(shape)
+        n_serve = min(len(eval_ds.images), 4 * cfg.batch_size)
+        preds = engine.predict(eval_ds.images[:n_serve])
+        serve_top1 = float(
+            (preds.argmax(-1) == eval_ds.labels[:n_serve]).mean())
+        serve_stats = {**{k: round(float(vv), 2)
+                          for k, vv in engine.stats().items()},
+                       "serve_top1": round(serve_top1, 4),
+                       "mesh": f"dp={n_dev // tp},tp={tp}"}
+        engine.stop()
+
     result = {
         "config": cfg.name,
         "dataset": cfg.dataset,
@@ -89,6 +133,8 @@ def run_experiment(cfg: ExperimentConfig, seed: int = 0,
         "w_bits": cfg.w_bits, "a_bits": cfg.a_bits,
         "method": cfg.method, "act_observer": cfg.act_observer,
     }
+    if serve_stats is not None:
+        result["serving"] = serve_stats
     print(json.dumps(result), flush=True)
     return result
 
@@ -102,6 +148,8 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--set", action="append", default=[],
                    help="override config fields, e.g. --set fp32_epochs=5")
+    p.add_argument("--save-state", help="save fp32 baseline variables (orbax)")
+    p.add_argument("--load-state", help="resume fp32 baseline from checkpoint")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -120,7 +168,8 @@ def main(argv=None) -> int:
         else:
             value = field_type(v)
         cfg = dataclasses.replace(cfg, **{k: value})
-    run_experiment(cfg, seed=args.seed, verbose=not args.quiet)
+    run_experiment(cfg, seed=args.seed, verbose=not args.quiet,
+                   save_state=args.save_state, load_state=args.load_state)
     return 0
 
 

@@ -23,8 +23,7 @@ on the quantized grid.
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Literal, Optional, Sequence, Tuple
+from typing import Literal, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +35,10 @@ STE = Literal["passthrough", "clip"]
 
 # ---------------------------------------------------------------------------
 # Quantization grids
+
+
 # ---------------------------------------------------------------------------
+
 
 def qrange(bits: int, signed: bool = True, symmetric: bool = True) -> Tuple[int, int]:
     """Integer range of a ``bits``-wide grid.
@@ -85,7 +87,10 @@ def channel_amax(x: Array, channel_axis: int) -> Array:
 
 # ---------------------------------------------------------------------------
 # Fake quantization (quantize -> dequantize in fp) with STE
+
+
 # ---------------------------------------------------------------------------
+
 
 def _quantize_to_grid(x: Array, scale: Array, zero_point: Array,
                       qmin: int, qmax: int) -> Array:
@@ -151,7 +156,10 @@ def weight_qparams(w: Array, *, bits: int = 8,
 
 # ---------------------------------------------------------------------------
 # Real quantization (for serving: materialize integer tensors)
+
+
 # ---------------------------------------------------------------------------
+
 
 def quantize(x: Array, scale: Array, zero_point: Array | float = 0.0, *,
              bits: int = 8, signed: bool = True, symmetric: bool = True) -> Array:
@@ -168,7 +176,10 @@ def dequantize(q: Array, scale: Array, zero_point: Array | float = 0.0) -> Array
 
 # ---------------------------------------------------------------------------
 # INT4 packing: two int4 values per int8 byte (serving weight format)
+
+
 # ---------------------------------------------------------------------------
+
 
 def pack_int4(q: Array, axis: int = -1) -> Array:
     """Pack an int8 array holding int4 values ([-7,7]) into nibbles along ``axis``.

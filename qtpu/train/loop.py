@@ -101,23 +101,36 @@ def fit(model: nn.Module, train_ds: Dataset, *, epochs: int = 1,
         tx: Optional[optax.GradientTransformation] = None,
         key: Optional[jax.Array] = None, state: Optional[TrainState] = None,
         eval_ds: Optional[Dataset] = None, log_every: int = 0,
-        seed: int = 0) -> TrainState:
-    """Train ``model`` (fp32 or quantized — QAT works through the same loop)."""
+        json_logs: bool = False, seed: int = 0) -> TrainState:
+    """Train ``model`` (fp32 or quantized — QAT works through the same loop).
+
+    ``json_logs=True`` emits one structured JSON line per log event
+    (SURVEY.md §5.5 observability) instead of human-readable text.
+    """
+    import json as _json
+
     key = key if key is not None else jax.random.PRNGKey(seed)
     tx = tx if tx is not None else optax.adamw(lr)
     if state is None:
         sample = jnp.asarray(train_ds.images[:2])
         state = create_train_state(model, key, sample, tx)
     step = make_train_step(model, tx)
+
+    def log(payload: dict, text: str) -> None:
+        print(_json.dumps(payload) if json_logs else text, flush=True)
+
     for epoch in range(epochs):
         for i, (x, y) in enumerate(
                 batches(train_ds, batch_size, seed=seed + epoch)):
             state, metrics = step(state, jnp.asarray(x), jnp.asarray(y))
             if log_every and (i % log_every == 0):
-                print(f"epoch {epoch} step {i}: "
-                      f"loss={float(metrics['loss']):.4f} "
-                      f"acc={float(metrics['acc']):.3f}", flush=True)
+                loss, acc = float(metrics["loss"]), float(metrics["acc"])
+                log({"event": "train", "epoch": epoch, "step": i,
+                     "loss": round(loss, 4), "acc": round(acc, 4)},
+                    f"epoch {epoch} step {i}: loss={loss:.4f} acc={acc:.3f}")
         if eval_ds is not None:
             t1, t5 = evaluate(model, state.variables(), eval_ds, batch_size)
-            print(f"epoch {epoch}: eval top1={t1:.4f} top5={t5:.4f}", flush=True)
+            log({"event": "eval", "epoch": epoch, "top1": round(t1, 4),
+                 "top5": round(t5, 4)},
+                f"epoch {epoch}: eval top1={t1:.4f} top5={t5:.4f}")
     return state
