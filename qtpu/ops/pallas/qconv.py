@@ -36,7 +36,7 @@ Array = jax.Array
 
 def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
             out_ref, *, KH: int, KW: int, OH: int, OW: int, Ci: int,
-            requant: bool, relu: bool):
+            requant: bool, requant_affine: bool, relu: bool):
     bb = x_ref.shape[0]
     acc = jnp.zeros((bb * OH * OW, ws_ref.shape[1]), jnp.int32)
     for kh in range(KH):
@@ -53,9 +53,12 @@ def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
     if relu:
         y = jnp.maximum(y, 0.0)
     if requant:
-        # affine requant; see qmatmul epilogue comment
-        q = jnp.round(y * scal_ref[0, 1]) + scal_ref[0, 2]
-        y = jnp.clip(q, scal_ref[0, 3], 255.0) - 128.0
+        # affine/symmetric requant; see qmatmul epilogue comment
+        if requant_affine:
+            q = jnp.round(y / scal_ref[0, 1] + scal_ref[0, 2])
+            y = jnp.clip(q, 0.0, 255.0) - 128.0
+        else:
+            y = jnp.clip(jnp.round(y / scal_ref[0, 1]), -127.0, 127.0)
     co = ws_ref.shape[1]
     out_ref[:] = y.reshape(bb, OH, OW * co).astype(out_ref.dtype)
 
@@ -82,16 +85,16 @@ def qconv2d_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
     if bias is None:
         bias = jnp.zeros((Co,), jnp.float32)
     requant = requant_scale is not None
-    inv = (1.0 / jnp.maximum(jnp.asarray(requant_scale, jnp.float32), 1e-12)
-           if requant else jnp.zeros((), jnp.float32))
-    if requant_zp is None:   # symmetric requant grid
-        rzp = jnp.float32(128.0)
-        rlo = jnp.float32(1.0)
+    rq_scale = (jnp.maximum(jnp.asarray(requant_scale, jnp.float32), 1e-12)
+                if requant else jnp.ones((), jnp.float32))
+    if requant_zp is None:   # symmetric requant grid (zp slot unused)
+        rzp = jnp.float32(0.0)
+        rlo = jnp.float32(0.0)
     else:                    # affine: zp is the signed-grid int zero point
         rzp = jnp.asarray(requant_zp, jnp.float32) + 128.0
         rlo = jnp.float32(0.0)
     scal = jnp.stack([jnp.asarray(act_scale, jnp.float32).reshape(()),
-                      inv.reshape(()), rzp.reshape(()),
+                      rq_scale.reshape(()), rzp.reshape(()),
                       rlo.reshape(())]).reshape(1, 4)
     zp = jnp.asarray(act_zp, jnp.int32).reshape(1, 1)
     ws = jnp.asarray(w_scale, jnp.float32).reshape(1, Co)
@@ -102,7 +105,8 @@ def qconv2d_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
 
     grid = (B // bb,)
     kern = functools.partial(_kernel, KH=KH, KW=KW, OH=OH, OW=OW, Ci=Ci,
-                             requant=requant, relu=relu)
+                             requant=requant,
+                             requant_affine=requant_zp is not None, relu=relu)
     out = pl.pallas_call(
         kern,
         grid=grid,

@@ -34,7 +34,8 @@ Array = jax.Array
 
 
 def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
-            *rest, requant: bool, relu: bool, residual: bool):
+            *rest, requant: bool, requant_affine: bool, relu: bool,
+            residual: bool):
     if residual:
         res_ref, out_ref, acc_ref = rest
     else:
@@ -66,11 +67,15 @@ def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
         if relu:
             y = jnp.maximum(y, 0.0)
         if requant:
-            # fused requantization onto the next layer's calibrated affine
-            # grid: q = clip(round(y/s + zp_u), lo, 255) - 128.  Symmetric
-            # grids pass zp_u=128, lo=1 (≡ clip(round(y/s), -127, 127)).
-            q = jnp.round(y * scal_ref[0, 1]) + scal_ref[0, 2]
-            y = jnp.clip(q, scal_ref[0, 3], 255.0) - 128.0
+            # fused requantization onto the next layer's grid, bit-matching
+            # qops.quantize_act: affine rounds (y/s + zp_u) on the unsigned
+            # grid then shifts; symmetric rounds y/s directly (adding an
+            # offset first would create false fp32 ties).
+            if requant_affine:
+                q = jnp.round(y / scal_ref[0, 1] + scal_ref[0, 2])
+                y = jnp.clip(q, 0.0, 255.0) - 128.0
+            else:
+                y = jnp.clip(jnp.round(y / scal_ref[0, 1]), -127.0, 127.0)
         out_ref[:] = y.astype(out_ref.dtype)
 
 
@@ -106,11 +111,11 @@ def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
     if bias is None:
         bias = jnp.zeros((N,), jnp.float32)
     requant = requant_scale is not None
-    inv = (1.0 / jnp.maximum(jnp.asarray(requant_scale, jnp.float32), 1e-12)
-           if requant else jnp.zeros((), jnp.float32))
-    if requant_zp is None:   # symmetric requant grid
-        rzp = jnp.float32(128.0)
-        rlo = jnp.float32(1.0)
+    rq_scale = (jnp.maximum(jnp.asarray(requant_scale, jnp.float32), 1e-12)
+                if requant else jnp.ones((), jnp.float32))
+    if requant_zp is None:   # symmetric requant grid (zp slot unused)
+        rzp = jnp.float32(0.0)
+        rlo = jnp.float32(0.0)
     else:                    # affine: zp is the signed-grid int zero point
         rzp = jnp.asarray(requant_zp, jnp.float32) + 128.0
         rlo = jnp.float32(0.0)
@@ -119,7 +124,7 @@ def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
     rz = (jnp.asarray(res_zp, jnp.float32) if res_zp is not None
           else jnp.zeros((), jnp.float32))
     scal = jnp.stack([jnp.asarray(act_scale, jnp.float32).reshape(()),
-                      inv.reshape(()), rzp.reshape(()), rlo.reshape(()),
+                      rq_scale.reshape(()), rzp.reshape(()), rlo.reshape(()),
                       rs.reshape(()), rz.reshape(())]).reshape(1, 6)
     zp = jnp.asarray(act_zp, jnp.int32).reshape(1, 1)
     ws = jnp.asarray(w_scale, jnp.float32).reshape(1, N)
@@ -144,8 +149,8 @@ def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
         in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)))
         inputs.append(residual)
     return pl.pallas_call(
-        functools.partial(_kernel, requant=requant, relu=relu,
-                          residual=residual is not None),
+        functools.partial(_kernel, requant=requant, requant_affine=requant_zp is not None,
+                          relu=relu, residual=residual is not None),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
