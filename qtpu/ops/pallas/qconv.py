@@ -36,7 +36,8 @@ Array = jax.Array
 
 def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
             out_ref, *, KH: int, KW: int, OH: int, OW: int, Ci: int,
-            requant: bool, requant_affine: bool, relu: bool):
+            requant: bool, requant_affine: bool, relu: bool,
+            act_max: bool):
     bb = x_ref.shape[0]
     acc = jnp.zeros((bb * OH * OW, ws_ref.shape[1]), jnp.int32)
     for kh in range(KH):
@@ -52,6 +53,8 @@ def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
     y = corrected.astype(jnp.float32) * (act_scale * ws_ref[:]) + b_ref[:]
     if relu:
         y = jnp.maximum(y, 0.0)
+    if act_max:
+        y = jnp.minimum(y, scal_ref[0, 3])       # relu6-style upper clip
     if requant:
         # affine/symmetric requant; see qmatmul epilogue comment
         if requant_affine:
@@ -63,13 +66,14 @@ def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
     out_ref[:] = y.reshape(bb, OH, OW * co).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bb", "out_dtype", "interpret", "relu"))
+@functools.partial(jax.jit, static_argnames=("bb", "out_dtype", "interpret", "relu", "act_max"))
 def qconv2d_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
                   w_scale: Array, colsum: Array, bias: Optional[Array] = None,
                   requant_scale: Optional[Array] = None,
                   requant_zp: Optional[Array] = None, bb: int = 4,
                   out_dtype=jnp.float32, interpret: bool = False,
-                  relu: bool = False) -> Array:
+                  relu: bool = False,
+                  act_max: Optional[float] = None) -> Array:
     """Stride-1 VALID int8 conv: (B,Hp,Wp,Ci) × (KH,KW,Ci,Co) → (B,OH,OW,Co).
 
     For SAME semantics, zero-point-pad first via :func:`pad_for_conv`.
@@ -93,6 +97,8 @@ def qconv2d_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
     else:                    # affine: zp is the signed-grid int zero point
         rzp = jnp.asarray(requant_zp, jnp.float32) + 128.0
         rlo = jnp.float32(0.0)
+    if act_max is not None:
+        rlo = jnp.float32(act_max)   # slot 3 reused for the upper clip
     scal = jnp.stack([jnp.asarray(act_scale, jnp.float32).reshape(()),
                       rq_scale.reshape(()), rzp.reshape(()),
                       rlo.reshape(())]).reshape(1, 4)
@@ -106,7 +112,8 @@ def qconv2d_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
     grid = (B // bb,)
     kern = functools.partial(_kernel, KH=KH, KW=KW, OH=OH, OW=OW, Ci=Ci,
                              requant=requant,
-                             requant_affine=requant_zp is not None, relu=relu)
+                             requant_affine=requant_zp is not None, relu=relu,
+                             act_max=act_max is not None)
     out = pl.pallas_call(
         kern,
         grid=grid,

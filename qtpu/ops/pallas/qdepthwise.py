@@ -27,7 +27,8 @@ Array = jax.Array
 
 def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
             out_ref, *, KH: int, KW: int, OH: int, OW: int, C: int,
-            requant: bool, requant_affine: bool, relu: bool):
+            requant: bool, requant_affine: bool, relu: bool,
+            act_max: bool):
     bb = x_ref.shape[0]
     acc = jnp.zeros((bb, OH, OW * C), jnp.int32)
     for kh in range(KH):
@@ -40,6 +41,8 @@ def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
     y = corrected.astype(jnp.float32) * (act_scale * ws_ref[:]) + b_ref[:]
     if relu:
         y = jnp.maximum(y, 0.0)
+    if act_max:
+        y = jnp.minimum(y, scal_ref[0, 3])       # relu6-style upper clip
     if requant:
         if requant_affine:
             q = jnp.round(y / scal_ref[0, 1] + scal_ref[0, 2])
@@ -50,14 +53,15 @@ def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("bb", "out_dtype", "interpret",
-                                             "relu"))
+                                             "relu", "act_max"))
 def qdepthwise_fused(x_q: Array, w_q: Array, *, act_scale: Array,
                      act_zp: Array, w_scale: Array, colsum: Array,
                      bias: Optional[Array] = None,
                      requant_scale: Optional[Array] = None,
                      requant_zp: Optional[Array] = None, bb: int = 4,
                      out_dtype=jnp.float32, interpret: bool = False,
-                     relu: bool = False) -> Array:
+                     relu: bool = False,
+                     act_max: Optional[float] = None) -> Array:
     """Stride-1 VALID depthwise conv: (B,Hp,Wp,C) × (KH,KW,1,C) → (B,OH,OW,C).
 
     ``x_q`` pre-padded with the zero point (qconv.pad_for_conv).  ``colsum[c]
@@ -79,6 +83,8 @@ def qdepthwise_fused(x_q: Array, w_q: Array, *, act_scale: Array,
     else:
         rzp = jnp.asarray(requant_zp, jnp.float32) + 128.0
         rlo = jnp.float32(0.0)
+    if act_max is not None:
+        rlo = jnp.float32(act_max)   # slot 3 reused for the upper clip
     scal = jnp.stack([jnp.asarray(act_scale, jnp.float32).reshape(()),
                       rq_scale.reshape(()), rzp.reshape(()),
                       rlo.reshape(())]).reshape(1, 4)
@@ -94,7 +100,8 @@ def qdepthwise_fused(x_q: Array, w_q: Array, *, act_scale: Array,
 
     kern = functools.partial(_kernel, KH=KH, KW=KW, OH=OH, OW=OW, C=C,
                              requant=requant,
-                             requant_affine=requant_zp is not None, relu=relu)
+                             requant_affine=requant_zp is not None, relu=relu,
+                             act_max=act_max is not None)
     out = pl.pallas_call(
         kern,
         grid=(B // bb,),

@@ -35,7 +35,7 @@ Array = jax.Array
 
 def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
             *rest, requant: bool, requant_affine: bool, relu: bool,
-            residual: bool):
+            act_max: bool, residual: bool):
     if residual:
         res_ref, out_ref, acc_ref = rest
     else:
@@ -66,6 +66,8 @@ def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
                 y = y + r.astype(jnp.float32)
         if relu:
             y = jnp.maximum(y, 0.0)
+        if act_max:
+            y = jnp.minimum(y, scal_ref[0, 3])   # relu6-style upper clip
         if requant:
             # fused requantization onto the next layer's grid, bit-matching
             # qops.quantize_act: affine rounds (y/s + zp_u) on the unsigned
@@ -80,7 +82,7 @@ def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype", "interpret", "relu"))
+    jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype", "interpret", "relu", "act_max"))
 def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
                   w_scale: Array, colsum: Array, bias: Optional[Array] = None,
                   requant_scale: Optional[Array] = None,
@@ -90,7 +92,8 @@ def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
                   res_zp: Optional[Array] = None,
                   bm: int = 1024, bn: int = 512, bk: int = 4096,
                   out_dtype=jnp.float32, interpret: bool = False,
-                  relu: bool = False) -> Array:
+                  relu: bool = False,
+                  act_max: Optional[float] = None) -> Array:
     """int8 (M,K) × int8 (K,N) → out_dtype (M,N) with fused dequant.
 
     Shapes must tile evenly (pad at the call site; serving shapes are static).
@@ -119,6 +122,8 @@ def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
     else:                    # affine: zp is the signed-grid int zero point
         rzp = jnp.asarray(requant_zp, jnp.float32) + 128.0
         rlo = jnp.float32(0.0)
+    if act_max is not None:
+        rlo = jnp.float32(act_max)   # slot 3 reused for the upper clip
     rs = (jnp.asarray(res_scale, jnp.float32) if res_scale is not None
           else jnp.zeros((), jnp.float32))
     rz = (jnp.asarray(res_zp, jnp.float32) if res_zp is not None
@@ -149,8 +154,10 @@ def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
         in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)))
         inputs.append(residual)
     return pl.pallas_call(
-        functools.partial(_kernel, requant=requant, requant_affine=requant_zp is not None,
-                          relu=relu, residual=residual is not None),
+        functools.partial(_kernel, requant=requant,
+                          requant_affine=requant_zp is not None, relu=relu,
+                          act_max=act_max is not None,
+                          residual=residual is not None),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
