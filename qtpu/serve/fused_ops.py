@@ -1,0 +1,122 @@
+"""Shared fused-layer primitives for the flat int8 engines.
+
+Each op consumes a frozen ``qweights`` node (qtpu.transform.freeze layout) and
+an int8 NHWC activation tensor, optionally fusing ReLU/relu6, an int8 or f32
+residual, and requantization onto the consumer's calibrated affine grid.
+``use_pallas=False`` routes through XLA (portable / CPU-testable; XLA fuses
+the same epilogues elementwise); ``True`` uses the Pallas kernels where shapes
+allow.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qtpu.ops import fakequant as fq
+from qtpu.ops import qops
+from qtpu.ops.pallas.qmatmul import qmatmul_fused
+
+Array = jax.Array
+Grid = Tuple[Array, Array]  # (act_scale f32, act_zp int32 signed)
+
+
+def grid_of(node: Dict[str, Array]) -> Grid:
+    return node["act_scale"], node["act_zp"]
+
+
+def unpacked_kernel(node: Dict[str, Array]) -> Array:
+    """int8 weights of a frozen node, unpacking int4 nibbles if needed."""
+    w = node["kernel_q"]
+    if w.shape[-1] != node["colsum"].shape[0]:
+        w = fq.unpack_int4(w, axis=-1)
+    return w
+
+
+def best_tile(n: int, candidates=(1024, 512, 256, 128, 64, 32, 16, 8)) -> int:
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return n
+
+
+def lane_tile(n: int, candidates=(512, 256, 128)) -> int:
+    """Tile for a LANE (minor) dimension: Mosaic requires lane blocks to be
+    multiples of 128 or equal to the full dimension (e.g. Co=96 → 96)."""
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return n
+
+
+def dequant(x_q: Array, grid: Grid) -> Array:
+    s, zp = grid
+    return (x_q.astype(jnp.float32) - zp.astype(jnp.float32)) * s
+
+
+def _finish(y: Array, relu: bool, act_max: Optional[float],
+            requant: Optional[Grid]) -> Array:
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    if act_max is not None:
+        y = jnp.minimum(y, act_max)
+    if requant is not None:
+        y = qops.quantize_act(y, requant[0], requant[1])
+    return y
+
+
+def gemm_1x1(x_q: Array, node: Dict[str, Array], *, relu: bool = False,
+             act_max: Optional[float] = None, requant: Optional[Grid] = None,
+             out_dtype=jnp.float32, residual: Optional[Array] = None,
+             res_grid: Optional[Grid] = None, use_pallas: bool = True,
+             min_ci_pallas: int = 64) -> Array:
+    """1×1 conv as a fused GEMM over a frozen node."""
+    B, H, W, Ci = x_q.shape
+    w = unpacked_kernel(node)
+    w = w.reshape(w.shape[-2:])
+    Co = w.shape[-1]
+    M = B * H * W
+    rs, rz = (requant if requant is not None else (None, None))
+    if (use_pallas and M % 32 == 0 and Co % 32 == 0 and Ci % 64 == 0
+            and Ci >= min_ci_pallas):
+        res2 = residual.reshape(M, Co) if residual is not None else None
+        res_s = res_grid[0] if res_grid is not None else None
+        res_z = (res_grid[1].astype(jnp.float32)
+                 if res_grid is not None else None)
+        y = qmatmul_fused(
+            x_q.reshape(M, Ci), w, act_scale=node["act_scale"],
+            act_zp=node["act_zp"], w_scale=node["w_scale"],
+            colsum=node["colsum"], bias=node["bias"], requant_scale=rs,
+            requant_zp=rz, relu=relu, act_max=act_max, residual=res2,
+            res_scale=res_s, res_zp=res_z, bm=best_tile(M),
+            bn=lane_tile(Co), bk=min(Ci, 4096),
+            out_dtype=out_dtype)
+        return y.reshape(B, H, W, Co)
+    # XLA fallback: stay in NHWC via a 1x1 conv — reshaping to (M, C) forces
+    # a physical relayout whenever C is not lane-aligned (all of MobileNet),
+    # which measured 3x slower end-to-end than the conv form.
+    acc = qops.qconv2d(x_q, w.reshape(1, 1, Ci, Co), zp=node["act_zp"])
+    y = qops.dequant_epilogue(acc, act_scale=node["act_scale"],
+                              act_zp=node["act_zp"], w_scale=node["w_scale"],
+                              colsum=node["colsum"], bias=node["bias"])
+    if residual is not None:
+        r = residual.reshape(B, H, W, Co)
+        if r.dtype == jnp.int8:
+            r = (r.astype(jnp.float32)
+                 - res_grid[1].astype(jnp.float32)) * res_grid[0]
+        y = y + r
+    return _finish(y, relu, act_max, requant)
+
+
+def conv_xla(x_q: Array, node: Dict[str, Array], *, strides=(1, 1),
+             groups: int = 1, relu: bool = False,
+             act_max: Optional[float] = None,
+             requant: Optional[Grid] = None) -> Array:
+    """K×K (optionally grouped/depthwise, strided) conv via XLA int8."""
+    acc = qops.qconv2d(x_q, unpacked_kernel(node), strides=strides,
+                       padding="SAME", groups=groups, zp=node["act_zp"])
+    y = qops.dequant_epilogue(acc, act_scale=node["act_scale"],
+                              act_zp=node["act_zp"], w_scale=node["w_scale"],
+                              colsum=node["colsum"], bias=node["bias"])
+    return _finish(y, relu, act_max, requant)

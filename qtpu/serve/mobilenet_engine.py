@@ -1,0 +1,118 @@
+"""Hand-scheduled int8 MobileNet-v2 inference engine.
+
+Flat int8-resident pipeline over frozen qweights (the MobileNet analog of
+ResNetInt8Engine; BASELINE.json config 3's serving path):
+
+* expand/project 1×1 convs as fused NHWC convs (relu6 and the inverted-
+  residual add fused into the epilogues; Pallas GEMM path available but off
+  by default — see __init__ note);
+* depthwise 3×3 via XLA int8 grouped conv (faster than the Pallas depthwise
+  kernel on this chip — see PARITY.md) with fused relu6+requant;
+* activations stay int8 between layers on each consumer's calibrated grid.
+
+Block layout mirrors qtpu.models.mobilenet.MobileNetV2: stem, block{i} with
+expand/dw/project children (expand absent when t=1), head, fc.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qtpu.ops import qops
+from qtpu.serve.fused_ops import (Grid, conv_xla, dequant, gemm_1x1, grid_of,
+                                  unpacked_kernel)
+
+Array = jax.Array
+
+# (expand, out_ch, repeats, stride) — must match models/mobilenet.py
+V2_CFG = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+          (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1))
+
+
+class MobileNetV2Int8Engine:
+    """Flat int8 inference over frozen MobileNet-v2 qweights."""
+
+    def __init__(self, variables: Dict[str, Any], num_classes: int,
+                 use_pallas: bool = False):
+        # use_pallas=False by default: MobileNet's channel counts are mostly
+        # not lane-aligned, so the (M, C) reshapes around the Pallas GEMMs are
+        # physical relayouts (measured 12.4k vs 16.9k img/s at B=64); the XLA
+        # NHWC path fuses the same epilogues without them.
+        self.qw = variables["qweights"]
+        self.num_classes = num_classes
+        self.use_pallas = use_pallas
+        self.forward = jax.jit(self._forward)
+
+    def _node(self, *path: str) -> Optional[Dict[str, Array]]:
+        node = self.qw
+        for p in path:
+            if p not in node:
+                return None
+            node = node[p]
+        return node
+
+    def _blocks(self):
+        out = []
+        idx = 0
+        for t, c, n, s in V2_CFG:
+            for j in range(n):
+                out.append((f"block{idx}", t, s if j == 0 else 1))
+                idx += 1
+        return out
+
+    def _block_in_grid(self, name: str) -> Grid:
+        node = self._node(name, "expand") or self._node(name, "dw")
+        return grid_of(node)
+
+    def _forward(self, x: Array) -> Array:
+        blocks = self._blocks()
+        stem = self._node("stem")
+        head = self._node("head")
+        fc = self._node("fc")
+        if stem is None or head is None or fc is None:
+            raise NotImplementedError(
+                "excluded layers: use the module SERVE path")
+
+        x_q = qops.quantize_act(x, stem["act_scale"], stem["act_zp"])
+        first = self._block_in_grid(blocks[0][0])
+        x_q = conv_xla(x_q, stem, strides=(2, 2), relu=True, act_max=6.0,
+                       requant=first)
+        grid = first
+
+        for i, (name, t, stride) in enumerate(blocks):
+            nxt = (self._block_in_grid(blocks[i + 1][0])
+                   if i + 1 < len(blocks) else grid_of(head))
+            expand = self._node(name, "expand")
+            dw = self._node(name, "dw")
+            project = self._node(name, "project")
+            cout = unpacked_kernel(project).shape[-1]
+
+            y = x_q
+            if expand is not None:
+                y = gemm_1x1(y, expand, relu=True, act_max=6.0,
+                             requant=grid_of(dw), out_dtype=jnp.int8,
+                             use_pallas=self.use_pallas)
+            c = y.shape[-1]
+            y = conv_xla(y, dw, strides=(stride, stride), groups=c,
+                         relu=True, act_max=6.0, requant=grid_of(project))
+            if stride == 1 and x_q.shape[-1] == cout:
+                # inverted residual: add fused into the project epilogue
+                x_q = gemm_1x1(y, project, relu=False, requant=nxt,
+                               out_dtype=jnp.int8, residual=x_q,
+                               res_grid=grid, use_pallas=self.use_pallas)
+            else:
+                x_q = gemm_1x1(y, project, relu=False, requant=nxt,
+                               out_dtype=jnp.int8,
+                               use_pallas=self.use_pallas)
+            grid = nxt
+
+        x_q = gemm_1x1(x_q, head, relu=True, act_max=6.0, requant=None,
+                       out_dtype=jnp.float32, use_pallas=self.use_pallas)
+        pooled = jnp.mean(x_q, axis=(1, 2))
+        x_fc = qops.quantize_act(pooled, fc["act_scale"], fc["act_zp"])
+        acc = qops.qmatmul(x_fc, unpacked_kernel(fc))
+        return qops.dequant_epilogue(
+            acc, act_scale=fc["act_scale"], act_zp=fc["act_zp"],
+            w_scale=fc["w_scale"], colsum=fc["colsum"], bias=fc["bias"])

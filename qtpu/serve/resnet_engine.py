@@ -23,36 +23,19 @@ SERVE path is asserted in tests).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
-from qtpu.ops import fakequant as fq
 from qtpu.ops import qops
-from qtpu.ops.pallas.qmatmul import qmatmul_fused
+from qtpu.serve.fused_ops import (Grid, conv_xla as _fused_conv,
+                                  dequant as _fused_dequant,
+                                  gemm_1x1 as _fused_gemm,
+                                  grid_of as _grid_of,
+                                  unpacked_kernel as _unpacked_kernel)
 
 Array = jax.Array
-Grid = Tuple[Array, Array]  # (act_scale f32, act_zp int32 signed)
-
-
-def _unpacked_kernel(node: Dict[str, Array]) -> Array:
-    """int8 weights of a frozen node, unpacking int4 nibbles if needed."""
-    w = node["kernel_q"]
-    if w.shape[-1] != node["colsum"].shape[0]:   # int4 nibble-packed
-        w = fq.unpack_int4(w, axis=-1)
-    return w
-
-
-def _best_tile(n: int, candidates=(1024, 512, 256, 128, 64, 32, 16, 8)) -> int:
-    for c in candidates:
-        if n % c == 0:
-            return c
-    return n
-
-
-def _grid_of(node: Dict[str, Array]) -> Grid:
-    return node["act_scale"], node["act_zp"]
 
 
 class ResNetInt8Engine:
@@ -101,65 +84,20 @@ class ResNetInt8Engine:
     # -- fused layer primitives ------------------------------------------
 
     def _gemm(self, x_q: Array, node: Dict[str, Array], *, relu: bool,
-              requant: Optional[Grid], out_dtype,
-              residual: Optional[Array] = None,
-              res_grid: Optional[Grid] = None) -> Array:
-        B, H, W, Ci = x_q.shape
-        w = _unpacked_kernel(node)
-        w = w.reshape(w.shape[-2:])
-        Co = w.shape[-1]
-        M = B * H * W
-        rs, rz = (requant if requant is not None else (None, None))
-        if (self.use_pallas and M % 32 == 0 and Co % 32 == 0
-                and Ci % 64 == 0 and Ci >= self.min_ci_pallas):
-            res2 = (residual.reshape(M, Co) if residual is not None else None)
-            res_s = res_grid[0] if res_grid is not None else None
-            res_z = (res_grid[1].astype(jnp.float32)
-                     if res_grid is not None else None)
-            y = qmatmul_fused(
-                x_q.reshape(M, Ci), w,
-                act_scale=node["act_scale"], act_zp=node["act_zp"],
-                w_scale=node["w_scale"], colsum=node["colsum"],
-                bias=node["bias"], requant_scale=rs, requant_zp=rz, relu=relu,
-                residual=res2, res_scale=res_s, res_zp=res_z,
-                bm=_best_tile(M), bn=_best_tile(Co, (512, 256, 128, 64, 32)),
-                bk=min(Ci, 4096), out_dtype=out_dtype)
-            return y.reshape(B, H, W, Co)
-        acc = qops.qmatmul(x_q.reshape(M, Ci), w)
-        y = qops.dequant_epilogue(acc, act_scale=node["act_scale"],
-                                  act_zp=node["act_zp"],
-                                  w_scale=node["w_scale"],
-                                  colsum=node["colsum"], bias=node["bias"])
-        if residual is not None:
-            r = residual.reshape(M, Co)
-            if r.dtype == jnp.int8:
-                r = (r.astype(jnp.float32)
-                     - res_grid[1].astype(jnp.float32)) * res_grid[0]
-            y = y + r
-        if relu:
-            y = jnp.maximum(y, 0.0)
-        if requant is not None:
-            y = qops.quantize_act(y, rs, rz)
-        return y.reshape(B, H, W, -1)
+              requant, out_dtype, residual=None, res_grid=None) -> Array:
+        return _fused_gemm(x_q, node, relu=relu, requant=requant,
+                           out_dtype=out_dtype, residual=residual,
+                           res_grid=res_grid, use_pallas=self.use_pallas,
+                           min_ci_pallas=self.min_ci_pallas)
 
     def _conv_xla(self, x_q: Array, node: Dict[str, Array], *, strides,
-                  relu: bool, requant: Optional[Grid]) -> Array:
-        acc = qops.qconv2d(x_q, _unpacked_kernel(node), strides=strides,
-                           padding="SAME", zp=node["act_zp"])
-        y = qops.dequant_epilogue(acc, act_scale=node["act_scale"],
-                                  act_zp=node["act_zp"],
-                                  w_scale=node["w_scale"],
-                                  colsum=node["colsum"], bias=node["bias"])
-        if relu:
-            y = jnp.maximum(y, 0.0)
-        if requant is None:
-            return y
-        return qops.quantize_act(y, requant[0], requant[1])
+                  relu: bool, requant) -> Array:
+        return _fused_conv(x_q, node, strides=strides, relu=relu,
+                           requant=requant)
 
     @staticmethod
-    def _dequant(x_q: Array, grid: Grid) -> Array:
-        s, zp = grid
-        return (x_q.astype(jnp.float32) - zp.astype(jnp.float32)) * s
+    def _dequant(x_q: Array, grid) -> Array:
+        return _fused_dequant(x_q, grid)
 
     # -- network ----------------------------------------------------------
 
