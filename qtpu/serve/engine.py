@@ -36,7 +36,14 @@ class ServingEngine:
 
     def __init__(self, model, serve_vars: Dict[str, Any], *,
                  mesh=None, batch_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32),
-                 max_wait_ms: float = 2.0, donate_padding: bool = True):
+                 max_wait_ms: float = 2.0, forward_fn=None):
+        """``model``/``serve_vars``: a frozen SERVE module + variables.
+
+        ``forward_fn(variables, batch) -> logits`` overrides the module apply —
+        pass a flat engine's forward (e.g. ``lambda v, x:
+        ResNetInt8Engine(v, arch)._forward(x)``) to serve through the fused
+        int8-resident pipeline instead of the generic module path.
+        """
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh(tp=1)
         self.vars = shard_variables(serve_vars, self.mesh)
@@ -46,7 +53,8 @@ class ServingEngine:
         self.buckets = tuple(sorted({-(-b // dp) * dp for b in batch_buckets}))
         self.max_wait_s = max_wait_ms / 1e3
         self._x_sharding = batch_sharding(self.mesh)
-        self._fwd = jax.jit(model.apply)
+        self._fwd = jax.jit(forward_fn if forward_fn is not None
+                            else model.apply)
         self._queue: "queue.Queue[Optional[Tuple[np.ndarray, Future, float]]]" \
             = queue.Queue()
         self._stats_lock = threading.Lock()

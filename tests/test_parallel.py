@@ -107,3 +107,24 @@ def test_dp_train_step_on_mesh():
     # params remain fully addressable/replicated after the update
     k = state2.params["conv1"]["kernel"]
     assert k.shape == (5, 5, 1, 6)
+
+
+def test_serving_engine_with_flat_engine_forward(frozen_lenet):
+    """ServingEngine accepts a custom forward_fn (flat-engine route)."""
+    sm, sv, x = frozen_lenet
+    calls = []
+
+    def fwd(variables, batch):
+        calls.append(1)
+        return sm.apply(variables, batch)
+
+    eng = ServingEngine(sm, sv, mesh=make_mesh(dp=1, tp=1,
+                                               devices=jax.devices()[:1]),
+                        batch_buckets=(4, 8), max_wait_ms=5.0,
+                        forward_fn=fwd)
+    try:
+        out = eng.predict(np.asarray(x[:4]))
+        assert out.shape == (4, 10)
+        assert calls  # custom forward traced
+    finally:
+        eng.stop()
