@@ -53,7 +53,7 @@ def main() -> int:
     roofline_img_s = peak_int8 / ops_per_image
 
     best = None
-    configs = ([(32, True), (64, True), (32, False)] if platform == "tpu"
+    configs = ([(128, False), (32, False), (64, True)] if platform == "tpu"
                else [(8, False)])
     for batch, use_pallas in configs:
         try:

@@ -47,12 +47,15 @@ class ResNetInt8Engine:
     """
 
     def __init__(self, variables: Dict[str, Any], arch: Dict[str, Any],
-                 use_pallas: bool = True, min_ci_pallas: int = 64):
+                 use_pallas: bool = False, min_ci_pallas: int = 64):
         self.qw = variables["qweights"]
         self.arch = dict(arch)
+        # use_pallas=False default: after the NHWC 1x1 fix in fused_ops the
+        # XLA path fuses the same epilogues without the (M,C) relayout the
+        # Pallas GEMMs require — measured 11.2k vs 6.6k img/s @ B=32 and
+        # 14.3k vs 7.7k @ B=128 on ResNet-50. The Pallas path remains for the
+        # planned whole-block fusion (ROADMAP #1) where the relayout amortizes.
         self.use_pallas = use_pallas
-        # Pallas GEMMs win for K >= this channel count; thinner contractions
-        # (half-empty MXU) go to XLA whose conv fusion handles them better.
         self.min_ci_pallas = min_ci_pallas
         self.forward = jax.jit(self._forward)
         # int8 ingest: images pre-quantized on the host onto the stem's grid
