@@ -86,6 +86,11 @@ def _serve_vars(mod: nn.Module, spec: LayerQuantSpec, kshape: Tuple[int, ...],
                                lambda: jnp.ones((), jnp.float32)),
         act_zp=mod.variable("qweights", "act_zp",
                             lambda: jnp.zeros((), jnp.int32)),
+        # static grid kind, stored so flat engines (which see only the frozen
+        # qweights tree) requantize on the same affine/symmetric path as this
+        # module does above (ADVICE r1: engine/module one-step divergence).
+        act_sym=mod.variable("qweights", "act_sym",
+                             lambda: jnp.asarray(spec.act_symmetric)),
     )
 
 

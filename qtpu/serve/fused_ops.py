@@ -19,11 +19,31 @@ from qtpu.ops import qops
 from qtpu.ops.pallas.qmatmul import qmatmul_fused
 
 Array = jax.Array
-Grid = Tuple[Array, Array]  # (act_scale f32, act_zp int32 signed)
+# (act_scale f32, act_zp int32 signed[, symmetric bool — static]).  The
+# 2-tuple form is accepted everywhere and means affine.
+Grid = Tuple[Array, ...]
 
 
 def grid_of(node: Dict[str, Array]) -> Grid:
-    return node["act_scale"], node["act_zp"]
+    """(scale, zp, symmetric) grid of a frozen node.
+
+    ``symmetric`` is a *static* Python bool (read from the concrete act_sym
+    leaf the SERVE module declared) so requantization dispatches to the same
+    affine/symmetric path as the module path — codes then match bit-exactly
+    for both grid kinds, not just affine ones.
+    """
+    sym = node.get("act_sym") if hasattr(node, "get") else None
+    return node["act_scale"], node["act_zp"], (bool(sym) if sym is not None
+                                               else False)
+
+
+def grid_parts(grid: Optional[Grid]):
+    """Unpack a 2- or 3-tuple grid into (scale, zp, symmetric)."""
+    if grid is None:
+        return None, None, False
+    if len(grid) == 3:
+        return grid
+    return grid[0], grid[1], False
 
 
 def unpacked_kernel(node: Dict[str, Array]) -> Array:
@@ -51,7 +71,7 @@ def lane_tile(n: int, candidates=(512, 256, 128)) -> int:
 
 
 def dequant(x_q: Array, grid: Grid) -> Array:
-    s, zp = grid
+    s, zp, _ = grid_parts(grid)
     return (x_q.astype(jnp.float32) - zp.astype(jnp.float32)) * s
 
 
@@ -62,7 +82,8 @@ def _finish(y: Array, relu: bool, act_max: Optional[float],
     if act_max is not None:
         y = jnp.minimum(y, act_max)
     if requant is not None:
-        y = qops.quantize_act(y, requant[0], requant[1])
+        rs, rz, rsym = grid_parts(requant)
+        y = qops.quantize_act(y, rs, rz, symmetric=rsym)
     return y
 
 
@@ -77,7 +98,7 @@ def gemm_1x1(x_q: Array, node: Dict[str, Array], *, relu: bool = False,
     w = w.reshape(w.shape[-2:])
     Co = w.shape[-1]
     M = B * H * W
-    rs, rz = (requant if requant is not None else (None, None))
+    rs, rz, rsym = grid_parts(requant)
     if (use_pallas and M % 32 == 0 and Co % 32 == 0 and Ci % 64 == 0
             and Ci >= min_ci_pallas):
         res2 = residual.reshape(M, Co) if residual is not None else None
@@ -88,7 +109,10 @@ def gemm_1x1(x_q: Array, node: Dict[str, Array], *, relu: bool = False,
             x_q.reshape(M, Ci), w, act_scale=node["act_scale"],
             act_zp=node["act_zp"], w_scale=node["w_scale"],
             colsum=node["colsum"], bias=node["bias"], requant_scale=rs,
-            requant_zp=rz, relu=relu, act_max=act_max, residual=res2,
+            # requant_zp=None selects the kernel's symmetric requant path
+            # (round(y/s), clip ±127) — bit-matching quantize_act(sym).
+            requant_zp=None if rsym else rz,
+            relu=relu, act_max=act_max, residual=res2,
             res_scale=res_s, res_zp=res_z, bm=best_tile(M),
             bn=lane_tile(Co), bk=min(Ci, 4096),
             out_dtype=out_dtype)

@@ -75,7 +75,8 @@ class MobileNetV2Int8Engine:
             raise NotImplementedError(
                 "excluded layers: use the module SERVE path")
 
-        x_q = qops.quantize_act(x, stem["act_scale"], stem["act_zp"])
+        x_q = qops.quantize_act(x, stem["act_scale"], stem["act_zp"],
+                                symmetric=grid_of(stem)[2])
         first = self._block_in_grid(blocks[0][0])
         x_q = conv_xla(x_q, stem, strides=(2, 2), relu=True, act_max=6.0,
                        requant=first)
@@ -111,7 +112,8 @@ class MobileNetV2Int8Engine:
         x_q = gemm_1x1(x_q, head, relu=True, act_max=6.0, requant=None,
                        out_dtype=jnp.float32, use_pallas=self.use_pallas)
         pooled = jnp.mean(x_q, axis=(1, 2))
-        x_fc = qops.quantize_act(pooled, fc["act_scale"], fc["act_zp"])
+        x_fc = qops.quantize_act(pooled, fc["act_scale"], fc["act_zp"],
+                                 symmetric=grid_of(fc)[2])
         acc = qops.qmatmul(x_fc, unpacked_kernel(fc))
         return qops.dequant_epilogue(
             acc, act_scale=fc["act_scale"], act_zp=fc["act_zp"],

@@ -29,13 +29,26 @@ import jax
 import jax.numpy as jnp
 
 from qtpu.ops import qops
+from qtpu.ops.pallas.qblock import block_scalars, qbottleneck_fused
 from qtpu.serve.fused_ops import (Grid, conv_xla as _fused_conv,
                                   dequant as _fused_dequant,
                                   gemm_1x1 as _fused_gemm,
                                   grid_of as _grid_of,
+                                  grid_parts as _grid_parts,
                                   unpacked_kernel as _unpacked_kernel)
 
 Array = jax.Array
+
+
+def _qblock_bb(B: int, H: int, W: int, cap: int = 32) -> int:
+    """Batch tile for the fused bottleneck kernel: target ~4k GEMM rows per
+    grid step (fills the MXU on the deep 7x7/14x14 stages) while dividing B
+    and staying under the VMEM cap."""
+    bb = 1
+    while (bb * 2 <= min(B, cap) and B % (bb * 2) == 0
+           and bb * 2 * H * W <= 4096):
+        bb *= 2
+    return bb
 
 
 class ResNetInt8Engine:
@@ -47,7 +60,9 @@ class ResNetInt8Engine:
     """
 
     def __init__(self, variables: Dict[str, Any], arch: Dict[str, Any],
-                 use_pallas: bool = False, min_ci_pallas: int = 64):
+                 use_pallas: bool = False, min_ci_pallas: int = 64,
+                 use_qblock: Optional[bool] = None,
+                 qblock_interpret: bool = False):
         self.qw = variables["qweights"]
         self.arch = dict(arch)
         # use_pallas=False default: after the NHWC 1x1 fix in fused_ops the
@@ -57,6 +72,23 @@ class ResNetInt8Engine:
         # planned whole-block fusion (ROADMAP #1) where the relayout amortizes.
         self.use_pallas = use_pallas
         self.min_ci_pallas = min_ci_pallas
+        # use_qblock: fuse identity bottlenecks (conv1->conv2->conv3+residual)
+        # into one Pallas kernel (qtpu.ops.pallas.qblock). Bit-identical to
+        # the 3-op sequence (tests/test_pallas_qblock.py, verified on-chip).
+        # Default OFF: the device trace (scripts/chip_qblock_stage_bench.py,
+        # 2026-08-17) shows XLA already cross-fuses conv2+conv3+residual in
+        # these blocks (~210us/block layer1 @ B=32) while the monolithic
+        # kernel serializes its MXU/VPU phases (~506us) — the fused kernel
+        # loses 2-5x on every stage. Kept as a validated opt-in for future
+        # kernel-scheduling work; the measured e2e lever is the stem
+        # (fusion.3: 565us/step, 20% of forward — see qtpu/bench/tracing.py).
+        if use_qblock is None:
+            use_qblock = False
+        self.use_qblock = use_qblock and self.arch.get("bottleneck", True)
+        self.qblock_interpret = qblock_interpret
+        self._qblock_prep: Dict[str, Dict[str, Array]] = {}
+        if self.use_qblock:
+            self._prepare_qblocks()
         self.forward = jax.jit(self._forward)
         # int8 ingest: images pre-quantized on the host onto the stem's grid
         # (qtpu.data.native.preprocess_quantize) — 4x less transfer.
@@ -83,6 +115,51 @@ class ResNetInt8Engine:
             for j in range(n):
                 out.append((f"layer{i + 1}_{j}", i, j))
         return out
+
+    # -- fused whole-bottleneck kernel (ROADMAP #1) ------------------------
+
+    def _prepare_qblocks(self) -> None:
+        """Reshape identity-bottleneck weights once for qbottleneck_fused."""
+        row = lambda v: jnp.asarray(v).reshape(1, -1)
+        for name, _, j in self._block_names():
+            if j == 0:          # projection/strided block: unfused path
+                continue
+            c1, c2, c3 = (self._node(name, k)
+                          for k in ("conv1", "conv2", "conv3"))
+            if c1 is None or c2 is None or c3 is None:
+                continue
+            if any(_grid_of(c)[2] for c in (c1, c2, c3)):
+                continue        # qblock requants affine-only (block_scalars)
+            w1 = _unpacked_kernel(c1)
+            w2 = _unpacked_kernel(c2)
+            w3 = _unpacked_kernel(c3)
+            kh, kw, cmid, cmid2 = w2.shape
+            cin = w1.shape[-2]
+            if (kh, kw) != (3, 3) or cmid != cmid2 or w3.shape[-1] != cin:
+                continue
+            # Mosaic shape-cast rule (measured): (rows, C) <-> (bb, H, W*C)
+            # casts need C % 128 == 0; pair pixels (P=2) for Cmid=64 stages.
+            pair = 1 if cmid % 128 == 0 else 2
+            if (cmid * pair) % 128 or (cin * pair) % 128:
+                continue
+            self._qblock_prep[name] = dict(
+                pair=pair,
+                w1=w1.reshape(cin, cmid), w2=w2.reshape(kh * kw, cmid, cmid),
+                w3=w3.reshape(cmid, cin),
+                ws1=row(c1["w_scale"]), cs1=row(c1["colsum"]),
+                b1=row(c1["bias"]),
+                ws2=row(c2["w_scale"]), cs2=row(c2["colsum"]),
+                b2=row(c2["bias"]),
+                ws3=row(c3["w_scale"]), cs3=row(c3["colsum"]),
+                b3=row(c3["bias"]))
+
+    def _qblock(self, x_q: Array, name: str, next_grid: Grid) -> Array:
+        c1, c2, c3 = (self._node(name, k) for k in ("conv1", "conv2", "conv3"))
+        B, H, W, _ = x_q.shape
+        prep = self._qblock_prep[name]
+        return qbottleneck_fused(
+            x_q, scalars=block_scalars(c1, c2, c3, next_grid),
+            bb=_qblock_bb(B, H, W), interpret=self.qblock_interpret, **prep)
 
     # -- fused layer primitives ------------------------------------------
 
@@ -115,7 +192,8 @@ class ResNetInt8Engine:
         if pre_quantized:
             x_q = x                      # already on the stem's grid (int8)
         else:
-            x_q = qops.quantize_act(x, node["act_scale"], node["act_zp"])
+            x_q = qops.quantize_act(x, node["act_scale"], node["act_zp"],
+                                    symmetric=_grid_of(node)[2])
         y_q = self._conv_xla(x_q, node, strides=strides, relu=True,
                              requant=first_grid)
         if not cifar:
@@ -128,6 +206,11 @@ class ResNetInt8Engine:
                     strides, next_grid: Grid) -> Array:
         c1, c2, c3 = (self._node(name, k) for k in ("conv1", "conv2", "conv3"))
         down = self._node(name, "down")
+        if (down is None and strides == (1, 1)
+                and name in self._qblock_prep
+                and not _grid_parts(next_grid)[2]
+                and x_q.shape[2] % self._qblock_prep[name]["pair"] == 0):
+            return self._qblock(x_q, name, next_grid)
         a = self._gemm(x_q, c1, relu=True, requant=_grid_of(c2),
                        out_dtype=jnp.int8)
         b = self._conv_xla(a, c2, strides=strides, relu=True,
@@ -157,7 +240,8 @@ class ResNetInt8Engine:
         else:
             r = self._dequant(x_q, x_grid)
         y = jnp.maximum(b + r, 0.0)
-        return qops.quantize_act(y, next_grid[0], next_grid[1])
+        ns, nz, nsym = _grid_parts(next_grid)
+        return qops.quantize_act(y, ns, nz, symmetric=nsym)
 
     def _forward(self, x: Array, pre_quantized: bool = False) -> Array:
         bottleneck = self.arch.get("bottleneck", True)
@@ -178,7 +262,8 @@ class ResNetInt8Engine:
             x_q = step(x_q, grid, name, strides, nxt)
             grid = nxt
         pooled = jnp.mean(self._dequant(x_q, grid), axis=(1, 2))
-        x_fc_q = qops.quantize_act(pooled, fc["act_scale"], fc["act_zp"])
+        x_fc_q = qops.quantize_act(pooled, fc["act_scale"], fc["act_zp"],
+                                   symmetric=_grid_of(fc)[2])
         acc = qops.qmatmul(x_fc_q, _unpacked_kernel(fc))
         return qops.dequant_epilogue(
             acc, act_scale=fc["act_scale"], act_zp=fc["act_zp"],

@@ -48,7 +48,7 @@ def test_engine_int8_ingest_matches_f32_path():
     eng = ResNetInt8Engine(sv, dict(stage_sizes=(2, 2, 2, 2), width=64,
                                     bottleneck=False, cifar_stem=True,
                                     num_classes=10), use_pallas=False)
-    scale, zp = eng.stem_grid()
+    scale, zp = eng.stem_grid()[:2]
     codes = preprocess_quantize(x8, mean, std, float(scale), int(zp))
     y_codes = eng.forward_codes(jnp.asarray(codes))
     y_f32 = eng.forward(xf)
