@@ -20,6 +20,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from qtpu.bench.profile import annotate
 from qtpu.ops import qops
 from qtpu.serve.fused_ops import (Grid, conv_xla, dequant, gemm_1x1, grid_of,
                                   unpacked_kernel)
@@ -75,11 +76,12 @@ class MobileNetV2Int8Engine:
             raise NotImplementedError(
                 "excluded layers: use the module SERVE path")
 
-        x_q = qops.quantize_act(x, stem["act_scale"], stem["act_zp"],
-                                symmetric=grid_of(stem)[2])
-        first = self._block_in_grid(blocks[0][0])
-        x_q = conv_xla(x_q, stem, strides=(2, 2), relu=True, act_max=6.0,
-                       requant=first)
+        with annotate("stem"):
+            x_q = qops.quantize_act(x, stem["act_scale"], stem["act_zp"],
+                                    symmetric=grid_of(stem)[2])
+            first = self._block_in_grid(blocks[0][0])
+            x_q = conv_xla(x_q, stem, strides=(2, 2), relu=True, act_max=6.0,
+                           requant=first)
         grid = first
 
         for i, (name, t, stride) in enumerate(blocks):
@@ -90,31 +92,35 @@ class MobileNetV2Int8Engine:
             project = self._node(name, "project")
             cout = unpacked_kernel(project).shape[-1]
 
-            y = x_q
-            if expand is not None:
-                y = gemm_1x1(y, expand, relu=True, act_max=6.0,
-                             requant=grid_of(dw), out_dtype=jnp.int8,
-                             use_pallas=self.use_pallas)
-            c = y.shape[-1]
-            y = conv_xla(y, dw, strides=(stride, stride), groups=c,
-                         relu=True, act_max=6.0, requant=grid_of(project))
-            if stride == 1 and x_q.shape[-1] == cout:
-                # inverted residual: add fused into the project epilogue
-                x_q = gemm_1x1(y, project, relu=False, requant=nxt,
-                               out_dtype=jnp.int8, residual=x_q,
-                               res_grid=grid, use_pallas=self.use_pallas)
-            else:
-                x_q = gemm_1x1(y, project, relu=False, requant=nxt,
-                               out_dtype=jnp.int8,
-                               use_pallas=self.use_pallas)
+            with annotate(name):
+                y = x_q
+                if expand is not None:
+                    y = gemm_1x1(y, expand, relu=True, act_max=6.0,
+                                 requant=grid_of(dw), out_dtype=jnp.int8,
+                                 use_pallas=self.use_pallas)
+                c = y.shape[-1]
+                y = conv_xla(y, dw, strides=(stride, stride), groups=c,
+                             relu=True, act_max=6.0,
+                             requant=grid_of(project))
+                if stride == 1 and x_q.shape[-1] == cout:
+                    # inverted residual: add fused into the project epilogue
+                    x_q = gemm_1x1(y, project, relu=False, requant=nxt,
+                                   out_dtype=jnp.int8, residual=x_q,
+                                   res_grid=grid,
+                                   use_pallas=self.use_pallas)
+                else:
+                    x_q = gemm_1x1(y, project, relu=False, requant=nxt,
+                                   out_dtype=jnp.int8,
+                                   use_pallas=self.use_pallas)
             grid = nxt
 
-        x_q = gemm_1x1(x_q, head, relu=True, act_max=6.0, requant=None,
-                       out_dtype=jnp.float32, use_pallas=self.use_pallas)
-        pooled = jnp.mean(x_q, axis=(1, 2))
-        x_fc = qops.quantize_act(pooled, fc["act_scale"], fc["act_zp"],
-                                 symmetric=grid_of(fc)[2])
-        acc = qops.qmatmul(x_fc, unpacked_kernel(fc))
-        return qops.dequant_epilogue(
-            acc, act_scale=fc["act_scale"], act_zp=fc["act_zp"],
-            w_scale=fc["w_scale"], colsum=fc["colsum"], bias=fc["bias"])
+        with annotate("head"):
+            x_q = gemm_1x1(x_q, head, relu=True, act_max=6.0, requant=None,
+                           out_dtype=jnp.float32, use_pallas=self.use_pallas)
+            pooled = jnp.mean(x_q, axis=(1, 2))
+            x_fc = qops.quantize_act(pooled, fc["act_scale"], fc["act_zp"],
+                                     symmetric=grid_of(fc)[2])
+            acc = qops.qmatmul(x_fc, unpacked_kernel(fc))
+            return qops.dequant_epilogue(
+                acc, act_scale=fc["act_scale"], act_zp=fc["act_zp"],
+                w_scale=fc["w_scale"], colsum=fc["colsum"], bias=fc["bias"])

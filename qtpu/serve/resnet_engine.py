@@ -28,6 +28,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from qtpu.bench.profile import annotate
 from qtpu.ops import qops
 from qtpu.ops.pallas.qblock import block_scalars, qbottleneck_fused
 from qtpu.serve.fused_ops import (Grid, conv_xla as _fused_conv,
@@ -250,7 +251,8 @@ class ResNetInt8Engine:
         fc = self._node("fc")
         if fc is None:
             raise NotImplementedError("excluded fc: use the module SERVE path")
-        x_q = self._stem(x, _grid_of(first), pre_quantized=pre_quantized)
+        with annotate("stem"):
+            x_q = self._stem(x, _grid_of(first), pre_quantized=pre_quantized)
         grid = _grid_of(first)
         for idx, (name, i, j) in enumerate(names):
             strides = (2, 2) if (i > 0 and j == 0) else (1, 1)
@@ -259,12 +261,14 @@ class ResNetInt8Engine:
             else:
                 nxt = _grid_of(fc)
             step = self._bottleneck if bottleneck else self._basic
-            x_q = step(x_q, grid, name, strides, nxt)
+            with annotate(name):
+                x_q = step(x_q, grid, name, strides, nxt)
             grid = nxt
-        pooled = jnp.mean(self._dequant(x_q, grid), axis=(1, 2))
-        x_fc_q = qops.quantize_act(pooled, fc["act_scale"], fc["act_zp"],
-                                   symmetric=_grid_of(fc)[2])
-        acc = qops.qmatmul(x_fc_q, _unpacked_kernel(fc))
-        return qops.dequant_epilogue(
-            acc, act_scale=fc["act_scale"], act_zp=fc["act_zp"],
-            w_scale=fc["w_scale"], colsum=fc["colsum"], bias=fc["bias"])
+        with annotate("head"):
+            pooled = jnp.mean(self._dequant(x_q, grid), axis=(1, 2))
+            x_fc_q = qops.quantize_act(pooled, fc["act_scale"], fc["act_zp"],
+                                       symmetric=_grid_of(fc)[2])
+            acc = qops.qmatmul(x_fc_q, _unpacked_kernel(fc))
+            return qops.dequant_epilogue(
+                acc, act_scale=fc["act_scale"], act_zp=fc["act_zp"],
+                w_scale=fc["w_scale"], colsum=fc["colsum"], bias=fc["bias"])
