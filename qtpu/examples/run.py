@@ -82,8 +82,9 @@ def run_experiment(cfg: ExperimentConfig, seed: int = 0, verbose: bool = True,
         eval_model = set_mode(qmodel, QuantMode.QUANT)
     elif cfg.method == "qat":
         tx = optax.adamw(cfg.qat_lr)
-        qstate = TrainState(params=qvars.pop("params"), extra=qvars,
-                            opt_state=tx.init(state.params),
+        qparams = qvars.pop("params")
+        qstate = TrainState(params=qparams, extra=qvars,
+                            opt_state=tx.init(qparams),
                             step=jnp.zeros((), jnp.int32))
         qstate = fit(qmodel, train_ds, epochs=cfg.qat_epochs,
                      batch_size=cfg.batch_size, tx=tx, state=qstate,

@@ -53,6 +53,10 @@ class ActQuant(nn.Module):
                                lambda: jnp.ones((), jnp.float32))
         vzp = self.variable(PARAMS_COL, "act_zp",
                             lambda: jnp.zeros((), jnp.float32))
+        # Explicit calibration marker (set by transform.calibrate) so freeze
+        # never has to infer "calibrated" from a sentinel scale value.
+        self.variable(PARAMS_COL, "calibrated",
+                      lambda: jnp.zeros((), jnp.bool_))
 
         # Don't pollute observer state with the init-time sample batch.
         mutable = (self.is_mutable_collection(STATS_COL)

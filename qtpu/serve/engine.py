@@ -36,7 +36,8 @@ class ServingEngine:
 
     def __init__(self, model, serve_vars: Dict[str, Any], *,
                  mesh=None, batch_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32),
-                 max_wait_ms: float = 2.0, forward_fn=None):
+                 max_wait_ms: float = 2.0, forward_fn=None,
+                 max_queue: int = 4096):
         """``model``/``serve_vars``: a frozen SERVE module + variables.
 
         ``forward_fn(variables, batch) -> logits`` overrides the module apply —
@@ -55,13 +56,16 @@ class ServingEngine:
         self._x_sharding = batch_sharding(self.mesh)
         self._fwd = jax.jit(forward_fn if forward_fn is not None
                             else model.apply)
+        # Bounded queue: submit() blocks once max_queue requests are pending
+        # (backpressure instead of unbounded memory growth).
         self._queue: "queue.Queue[Optional[Tuple[np.ndarray, Future, float]]]" \
-            = queue.Queue()
+            = queue.Queue(maxsize=max_queue)
         self._stats_lock = threading.Lock()
         self._latencies: list = []
         self._images = 0
         self._batches = 0
         self._occupancy = 0.0
+        self._busy_s = 0.0
         self._started = time.monotonic()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -97,7 +101,12 @@ class ServingEngine:
             return {
                 "images": self._images,
                 "batches": self._batches,
+                # wall-clock rate includes idle time between requests; the
+                # busy rate divides by device time only and is the number
+                # comparable to the bench harness throughput.
                 "images_per_sec": self._images / elapsed if elapsed else 0.0,
+                "images_per_sec_busy": (self._images / self._busy_s
+                                        if self._busy_s else 0.0),
                 "p50_ms": lat[n // 2] * 1e3 if n else 0.0,
                 "p99_ms": lat[min(n - 1, int(n * 0.99))] * 1e3 if n else 0.0,
                 "mean_occupancy": self._occupancy / max(self._batches, 1),
@@ -107,6 +116,15 @@ class ServingEngine:
         self._stop.set()
         self._queue.put(None)
         self._thread.join(timeout=10)
+        # Requests still queued (or raced past the _stop check in submit)
+        # must not leave callers blocked on their futures forever.
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[1].set_exception(RuntimeError("ServingEngine stopped"))
 
     # ---- scheduler ------------------------------------------------------
 
@@ -148,6 +166,7 @@ class ServingEngine:
         if len(imgs) < b:
             pad = np.zeros((b - len(imgs), *imgs.shape[1:]), imgs.dtype)
             imgs = np.concatenate([imgs, pad])
+        t_run = time.monotonic()
         x = jax.device_put(jnp.asarray(imgs), self._x_sharding)
         out = np.asarray(jax.block_until_ready(self._fwd(self.vars, x)))
         now = time.monotonic()
@@ -155,6 +174,7 @@ class ServingEngine:
             self._images += n
             self._batches += 1
             self._occupancy += n / b
+            self._busy_s += now - t_run
             for _, _, t0 in batch[:b]:
                 self._latencies.append(now - t0)
         for i, (_, fut, _) in enumerate(batch[:b]):

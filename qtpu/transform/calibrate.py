@@ -128,6 +128,7 @@ def calibrate(qmodel: nn.Module, variables: Variables,
             scale, zp = fq.affine_qparams(node["min"], node["max"], spec.a_bits)
             target["act_scale"] = scale
             target["act_zp"] = zp
+        target["calibrated"] = jnp.ones((), jnp.bool_)
 
     out = dict(variables)
     out[STATS_COL] = stats

@@ -126,8 +126,10 @@ def freeze(qmodel: nn.Module, variables: Variables, sample: jax.Array,
 
         # Activation qparams: prefer frozen calibration; fall back to observer
         # stats (QAT EMA path).
+        # Explicit flag written by transform.calibrate — no sentinel-value
+        # heuristic (a genuine act_scale of exactly 1.0 must stay calibrated).
         aq = _get(quant_params, path + ("in_q",))
-        calibrated = aq is not None and float(aq["act_scale"]) != 1.0
+        calibrated = aq is not None and bool(aq.get("calibrated", False))
         if calibrated:
             a_scale = jnp.asarray(aq["act_scale"], jnp.float32)
             a_zp_unsigned = jnp.asarray(aq["act_zp"], jnp.float32)
