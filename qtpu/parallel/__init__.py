@@ -1,7 +1,12 @@
 """Mesh, shardings, and collectives for multi-device/multi-host execution."""
+from qtpu.parallel.distributed import (enable_overlap_flags,
+                                       initialize_from_env,
+                                       local_batch_to_global)
 from qtpu.parallel.mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding,
                                 make_mesh, serve_variable_specs,
                                 shard_variables)
 
 __all__ = ["DATA_AXIS", "MODEL_AXIS", "batch_sharding", "make_mesh",
-           "serve_variable_specs", "shard_variables"]
+           "serve_variable_specs", "shard_variables",
+           "enable_overlap_flags", "initialize_from_env",
+           "local_batch_to_global"]

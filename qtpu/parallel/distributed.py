@@ -1,0 +1,107 @@
+"""Multi-host process bring-up + collective/compute overlap flags.
+
+The reference is single-process (SURVEY.md SS2.3 [K-high]; mount empty, SS0);
+the north star [B] demands "continuous batching of inference requests across
+hosts".  TPU-native multi-host SPMD needs exactly two pieces of runtime glue,
+both here:
+
+1. ``initialize_from_env()`` — guarded ``jax.distributed.initialize()``
+   (SURVEY.md SS5.8).  Reads the standard coordinator env vars and degrades
+   to a no-op single-process setup when they are absent, so every entry
+   point can call it unconditionally.  On Cloud TPU pods with the TPU
+   runtime, ``jax.distributed.initialize()`` auto-discovers everything; the
+   env vars are for CPU/GPU-style bring-up and tests.
+
+2. ``overlap_xla_flags()`` / ``enable_overlap_flags()`` — the XLA
+   latency-hiding-scheduler flags that let async collective all-gathers /
+   reduce-scatters overlap with int8 conv compute (SURVEY.md SS5.8, SS7.2).
+   Must be applied before the first backend initialization.
+
+Cross-host data movement for serving: each process owns the requests it
+received; ``local_batch_to_global()`` assembles a global sharded batch from
+per-process local shards (the continuous-batching scheduler feeds its local
+slice only — no host ever materializes the global batch).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+# Async-collective + latency-hiding scheduler flags (TPU).  XLA enables
+# async collectives by default on TPU; these make the overlap policy
+# explicit and extend it to all collective types used by the TP/DP
+# shardings in qtpu.parallel.mesh.  Verified accepted by libtpu 0.0.34.
+OVERLAP_XLA_FLAGS = (
+    "--xla_tpu_enable_async_collective_fusion=true",
+    "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=true",
+    "--xla_tpu_enable_async_collective_fusion_multiple_steps=true",
+    "--xla_tpu_overlap_compute_collective_tc=true",
+    "--xla_enable_async_all_gather=true",
+    "--xla_enable_async_collective_permute=true",
+)
+
+
+def enable_overlap_flags() -> None:
+    """Append the overlap flags to XLA_FLAGS (idempotent).
+
+    Call before jax initializes a backend (i.e. before the first
+    computation), typically at serve-CLI entry.  No-op for flags already
+    present so repeated calls / user overrides are safe.
+    """
+    flags = os.environ.get("XLA_FLAGS", "")
+    add = [f for f in OVERLAP_XLA_FLAGS if f.split("=")[0] not in flags]
+    if add:
+        os.environ["XLA_FLAGS"] = (flags + " " + " ".join(add)).strip()
+
+
+_initialized = False
+
+
+def initialize_from_env(coordinator: Optional[str] = None,
+                        num_processes: Optional[int] = None,
+                        process_id: Optional[int] = None) -> bool:
+    """Multi-host bring-up; returns True if distributed mode is active.
+
+    Resolution order: explicit args > ``QTPU_COORDINATOR`` /
+    ``QTPU_NUM_PROCESSES`` / ``QTPU_PROCESS_ID`` env vars > single-process
+    no-op.  Safe to call more than once (subsequent calls return the
+    current state).
+    """
+    global _initialized
+    if _initialized:
+        return jax.process_count() > 1
+    coordinator = coordinator or os.environ.get("QTPU_COORDINATOR")
+    if coordinator is None:
+        return False     # single-process: nothing to do, jax defaults apply
+    num_processes = int(num_processes
+                        or os.environ.get("QTPU_NUM_PROCESSES", "1"))
+    process_id = int(process_id
+                     if process_id is not None
+                     else os.environ.get("QTPU_PROCESS_ID", "0"))
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    _initialized = True
+    return num_processes > 1
+
+
+def local_batch_to_global(local: np.ndarray, sharding) -> jax.Array:
+    """Assemble a globally-sharded batch from this process's local shard.
+
+    ``local`` is the (B_local, ...) slice this host's scheduler packed;
+    ``sharding`` a NamedSharding over the global mesh with the batch dim on
+    'data'.  Every process must call this collectively with equal shapes.
+    Single-process meshes take the fast path (plain device_put).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    return jax.make_array_from_process_local_data(sharding, local)
+
+
+def process_local_devices(mesh_devices: Sequence[jax.Device]):
+    """The subset of mesh devices owned by this process (addressable)."""
+    return [d for d in mesh_devices
+            if d.process_index == jax.process_index()]

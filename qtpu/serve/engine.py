@@ -15,6 +15,18 @@ Design (TPU-idiomatic):
 * all device work happens on the scheduler thread; submitters only enqueue;
 * metrics: images/sec, request p50/p99 latency, batch occupancy
   (SURVEY.md §5.5).
+
+Multi-host ("continuous batching across hosts", the north-star phrase [B]):
+after ``qtpu.parallel.distributed.initialize_from_env()`` brings up N
+processes, every host runs this same engine over the *global* mesh and takes
+requests into its local queue.  Scheduler rounds run in lockstep — each
+round the hosts all-gather their pending counts (one scalar collective,
+which doubles as the round barrier), agree on the smallest covering global
+bucket, and each contributes its process-local shard of the batch
+(``local_batch_to_global``); XLA runs the sharded forward over ICI/DCN and
+each host resolves only its own futures.  No host ever materializes another
+host's images.  Exercised end-to-end by tests/test_multihost.py with two
+real OS processes over the gloo CPU backend.
 """
 from __future__ import annotations
 
@@ -28,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qtpu.parallel.distributed import local_batch_to_global
 from qtpu.parallel.mesh import batch_sharding, make_mesh, shard_variables
 
 
@@ -51,11 +64,23 @@ class ServingEngine:
         # batch buckets must shard over the 'data' axis: round each up to a
         # multiple of dp (padding fills the difference at dispatch time)
         dp = self.mesh.shape["data"]
+        self._procs = jax.process_count()
+        if self._procs > 1 and dp % self._procs:
+            raise ValueError(
+                f"multi-host serving needs the 'data' axis ({dp}) divisible "
+                f"by the process count ({self._procs})")
         self.buckets = tuple(sorted({-(-b // dp) * dp for b in batch_buckets}))
         self.max_wait_s = max_wait_ms / 1e3
         self._x_sharding = batch_sharding(self.mesh)
-        self._fwd = jax.jit(forward_fn if forward_fn is not None
-                            else model.apply)
+        fwd = forward_fn if forward_fn is not None else model.apply
+        if self._procs > 1:
+            # multi-host: every process must end up with the full logits for
+            # its own batch rows — keep the output sharded over 'data' only
+            # (model-axis shards of the last dense would otherwise leave each
+            # host with a slice of every row).
+            self._fwd = jax.jit(fwd, out_shardings=self._x_sharding)
+        else:
+            self._fwd = jax.jit(fwd)
         # Bounded queue: submit() blocks once max_queue requests are pending
         # (backpressure instead of unbounded memory growth).
         self._queue: "queue.Queue[Optional[Tuple[np.ndarray, Future, float]]]" \
@@ -66,6 +91,7 @@ class ServingEngine:
         self._batches = 0
         self._occupancy = 0.0
         self._busy_s = 0.0
+        self._img_shape: Optional[Tuple[int, ...]] = None
         self._started = time.monotonic()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -78,7 +104,10 @@ class ServingEngine:
         if self._stop.is_set():
             raise RuntimeError("ServingEngine is stopped")
         fut: Future = Future()
-        self._queue.put((np.asarray(image), fut, time.monotonic()))
+        image = np.asarray(image)
+        if self._img_shape is None:
+            self._img_shape = tuple(image.shape)
+        self._queue.put((image, fut, time.monotonic()))
         return fut
 
     def predict(self, images: np.ndarray) -> np.ndarray:
@@ -87,10 +116,11 @@ class ServingEngine:
         return np.stack([f.result() for f in futs])
 
     def warmup(self, image_shape: Tuple[int, int, int]) -> None:
-        """Compile every bucket ahead of time."""
+        """Compile every bucket ahead of time (collective in multi-host)."""
+        self._img_shape = tuple(image_shape)
         for b in self.buckets:
-            x = jnp.zeros((b, *image_shape), jnp.float32)
-            x = jax.device_put(x, self._x_sharding)
+            x = np.zeros((b // self._procs, *image_shape), np.float32)
+            x = local_batch_to_global(x, self._x_sharding)
             jax.block_until_ready(self._fwd(self.vars, x))
 
     def stats(self) -> Dict[str, float]:
@@ -115,7 +145,10 @@ class ServingEngine:
     def stop(self) -> None:
         self._stop.set()
         self._queue.put(None)
-        self._thread.join(timeout=10)
+        self._thread.join(timeout=30 if self._procs > 1 else 10)
+        self._drain_queue()
+
+    def _drain_queue(self) -> None:
         # Requests still queued (or raced past the _stop check in submit)
         # must not leave callers blocked on their futures forever.
         while True:
@@ -135,6 +168,9 @@ class ServingEngine:
         return self.buckets[-1]
 
     def _loop(self) -> None:
+        if self._procs > 1:
+            self._loop_multihost()
+            return
         max_b = self.buckets[-1]
         while not self._stop.is_set():
             try:
@@ -182,4 +218,73 @@ class ServingEngine:
         # overflow beyond the largest bucket: requeue (shouldn't happen since
         # the loop caps collection at max bucket size)
         for item in batch[b:]:
+            self._queue.put(item)
+
+    # ---- multi-host lockstep scheduler --------------------------------
+
+    def _loop_multihost(self) -> None:
+        """Continuous batching across hosts (module docstring).
+
+        The per-round ``process_allgather`` of (pending, stop) doubles as
+        the round barrier: every host blocks there until all hosts arrive,
+        so the SPMD forwards below are issued in lockstep by construction.
+        """
+        from jax.experimental import multihost_utils
+
+        max_local = self.buckets[-1] // self._procs
+        while True:
+            batch = []
+            deadline = time.monotonic() + self.max_wait_s
+            while len(batch) < max_local:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if item is None:
+                    self._stop.set()
+                    break
+                batch.append(item)
+            state = multihost_utils.process_allgather(
+                np.array([len(batch), int(self._stop.is_set())], np.int32))
+            n_max = int(state[:, 0].max())
+            if n_max > 0:
+                self._run_batch_multihost(batch, n_max)
+            if bool(state[:, 1].any()):
+                self._stop.set()
+                self._drain_queue()
+                return
+
+    def _run_batch_multihost(self, batch, n_max: int) -> None:
+        n = len(batch)
+        b = self._bucket_for(n_max * self._procs)     # global bucket
+        b_local = b // self._procs
+        if self._img_shape is None:
+            raise RuntimeError(
+                "multi-host serving requires warmup() before the first "
+                "request round (fixes the image shape on idle hosts)")
+        imgs = np.zeros((b_local, *self._img_shape), np.float32)
+        for i, item in enumerate(batch[:b_local]):
+            imgs[i] = item[0]
+        t_run = time.monotonic()
+        x = local_batch_to_global(np.asarray(imgs, np.float32),
+                                  self._x_sharding)
+        out_g = jax.block_until_ready(self._fwd(self.vars, x))
+        # fetch only this host's rows (the global array is not addressable)
+        shards = sorted(out_g.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        out = np.concatenate([np.asarray(s.data) for s in shards])
+        now = time.monotonic()
+        with self._stats_lock:
+            self._images += min(n, b_local)
+            self._batches += 1
+            self._occupancy += min(n, b_local) / b_local
+            self._busy_s += now - t_run
+            for _, _, t0 in batch[:b_local]:
+                self._latencies.append(now - t0)
+        for i, (_, fut, _) in enumerate(batch[:b_local]):
+            fut.set_result(out[i])
+        for item in batch[b_local:]:
             self._queue.put(item)

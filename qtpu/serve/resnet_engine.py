@@ -31,11 +31,14 @@ import jax.numpy as jnp
 from qtpu.bench.profile import annotate
 from qtpu.ops import qops
 from qtpu.ops.pallas.qblock import block_scalars, qbottleneck_fused
-from qtpu.serve.fused_ops import (Grid, conv_xla as _fused_conv,
+from qtpu.ops.pallas.qmatmul_dual import qmatmul_dual
+from qtpu.serve.fused_ops import (Grid, best_tile as _best_tile,
+                                  conv_xla as _fused_conv,
                                   dequant as _fused_dequant,
                                   gemm_1x1 as _fused_gemm,
                                   grid_of as _grid_of,
                                   grid_parts as _grid_parts,
+                                  lane_tile as _lane_tile,
                                   unpacked_kernel as _unpacked_kernel)
 
 Array = jax.Array
@@ -63,7 +66,8 @@ class ResNetInt8Engine:
     def __init__(self, variables: Dict[str, Any], arch: Dict[str, Any],
                  use_pallas: bool = False, min_ci_pallas: int = 64,
                  use_qblock: Optional[bool] = None,
-                 qblock_interpret: bool = False):
+                 qblock_interpret: bool = False,
+                 use_dual: bool = False):
         self.qw = variables["qweights"]
         self.arch = dict(arch)
         # use_pallas=False default: after the NHWC 1x1 fix in fused_ops the
@@ -87,6 +91,19 @@ class ResNetInt8Engine:
             use_qblock = False
         self.use_qblock = use_qblock and self.arch.get("bottleneck", True)
         self.qblock_interpret = qblock_interpret
+        # use_dual (opt-in, measured loss): projection blocks end in
+        # conv3(b) + downsample(x) — two 1x1 GEMMs summed.  The XLA path
+        # materializes the downsample output in fp32 HBM (1.4 ms/step of
+        # residual traffic at B=128 across the four ResNet-50 projection
+        # blocks, qtpu.bench.tracing); qmatmul_dual computes both GEMMs +
+        # sum + relu + requant in one Pallas pass so the fp32 intermediate
+        # never exists.  Measured on-chip 2026-08-17 (chip_dual_check, B=128,
+        # same process): 10.84 ms/step vs 9.08 XLA — the untiled-K dual
+        # contraction costs more MXU time than the residual traffic it
+        # saves, and fp32 ulp differences vs XLA's fused epilogue flip
+        # occasional requant codes (argmax agreement still 1.0).  Kept as an
+        # opt-in experiment record; default path stays XLA.
+        self.use_dual = use_dual and jax.devices()[0].platform == "tpu"
         self._qblock_prep: Dict[str, Dict[str, Array]] = {}
         if self.use_qblock:
             self._prepare_qblocks()
@@ -217,7 +234,10 @@ class ResNetInt8Engine:
         b = self._conv_xla(a, c2, strides=strides, relu=True,
                            requant=_grid_of(c3))
         if down is not None:
-            res = self._gemm(x_q[:, ::strides[0], ::strides[1], :], down,
+            x_d = x_q[:, ::strides[0], ::strides[1], :]
+            if self.use_dual:
+                return self._dual_project(b, c3, x_d, down, next_grid)
+            res = self._gemm(x_d, down,
                              relu=False, requant=None, out_dtype=jnp.float32)
             res_grid = None          # f32 residual (4 blocks only)
         else:
@@ -227,6 +247,28 @@ class ResNetInt8Engine:
         return self._gemm(b, c3, relu=True, requant=next_grid,
                           out_dtype=jnp.int8, residual=res,
                           res_grid=res_grid)
+
+    def _dual_project(self, b: Array, c3: Dict[str, Array], x_d: Array,
+                      down: Dict[str, Array], next_grid: Grid) -> Array:
+        """conv3(b) + down(x_d) → relu → requant, one dual-GEMM kernel."""
+        B, H, W, Cmid = b.shape
+        Cin = x_d.shape[-1]
+        w3 = _unpacked_kernel(c3)
+        wd = _unpacked_kernel(down)
+        N = w3.shape[-1]
+        M = B * H * W
+        ns, nz, nsym = _grid_parts(next_grid)
+        y = qmatmul_dual(
+            b.reshape(M, Cmid), w3.reshape(Cmid, N),
+            x_d.reshape(M, Cin), wd.reshape(Cin, N),
+            act_scale1=c3["act_scale"], act_zp1=c3["act_zp"],
+            w_scale1=c3["w_scale"], colsum1=c3["colsum"], bias1=c3["bias"],
+            act_scale2=down["act_scale"], act_zp2=down["act_zp"],
+            w_scale2=down["w_scale"], colsum2=down["colsum"],
+            bias2=down["bias"],
+            requant_scale=ns, requant_zp=None if nsym else nz,
+            relu=True, bm=_best_tile(M), bn=_lane_tile(N))
+        return y.reshape(B, H, W, N)
 
     def _basic(self, x_q: Array, x_grid: Grid, name: str, strides,
                next_grid: Grid) -> Array:

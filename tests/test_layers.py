@@ -192,7 +192,8 @@ class TestActQuantModes:
         m = qnn.ActQuant(spec, QuantMode.QUANT)
         x1 = jax.random.normal(KEY, (32,))
         v = jax.jit(m.init)(KEY, x1)
-        v = {**v, "quant_params": {"act_scale": jnp.float32(0.5),
+        v = {**v, "quant_params": {**v["quant_params"],
+                                   "act_scale": jnp.float32(0.5),
                                    "act_zp": jnp.float32(3.0)}}
         y_small = jax.jit(m.apply)(v, x1)
         y_big = jax.jit(m.apply)(v, x1 * 100)
