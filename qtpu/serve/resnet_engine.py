@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from qtpu.bench.profile import annotate
+from qtpu.nn.layers import BN_EPS
 from qtpu.ops import qops
 from qtpu.ops.pallas.qblock import block_scalars, qbottleneck_fused
 from qtpu.ops.pallas.qmatmul_dual import qmatmul_dual
@@ -59,8 +60,10 @@ class ResNetInt8Engine:
     """Flat int8 inference over frozen ResNet qweights.
 
     ``arch``: dict(stage_sizes, width, bottleneck, cifar_stem, num_classes).
-    ``variables``: freeze() output.  All layers must be quantized (use the
-    module SERVE path for models with excluded layers).
+    ``variables``: freeze() output.  Excluded stem/fc (the canonical config-5
+    first/last exclusion) run in fp32 inside the engine — stem BN folded with
+    running stats at build time, fc as a plain fp32 matmul; other excluded
+    layers need the module SERVE path.
     """
 
     def __init__(self, variables: Dict[str, Any], arch: Dict[str, Any],
@@ -69,6 +72,11 @@ class ResNetInt8Engine:
                  qblock_interpret: bool = False,
                  use_dual: bool = False):
         self.qw = variables["qweights"]
+        # fp32 params/batch-stats: only consulted for *excluded* layers
+        # (config 5 excludes stem*/fc — SURVEY.md §1.2 canonical first/last
+        # exclusion); quantized layers live entirely in qweights.
+        self.params = variables.get("params", {})
+        self.batch_stats = variables.get("batch_stats", {})
         self.arch = dict(arch)
         # use_pallas=False default: after the NHWC 1x1 fix in fused_ops the
         # XLA path fuses the same epilogues without the (M,C) relayout the
@@ -107,6 +115,19 @@ class ResNetInt8Engine:
         self._qblock_prep: Dict[str, Dict[str, Array]] = {}
         if self.use_qblock:
             self._prepare_qblocks()
+        # Excluded stem/fc run in fp32 inside the flat engine (BN folded with
+        # running stats — same fold freeze applies to quantized ConvBNs).
+        self._stem_fp32 = (self._fold_fp32("stem")
+                           if self._node("stem") is None else None)
+        self._fc_fp32 = None
+        if self._node("fc") is None:
+            p = self.params.get("fc")
+            if p is None or "kernel" not in p:
+                raise ValueError("fc neither quantized nor present in params")
+            self._fc_fp32 = (jnp.asarray(p["kernel"], jnp.float32),
+                             jnp.asarray(p.get("bias",
+                                               jnp.zeros(p["kernel"].shape[-1])),
+                                         jnp.float32))
         self.forward = jax.jit(self._forward)
         # int8 ingest: images pre-quantized on the host onto the stem's grid
         # (qtpu.data.native.preprocess_quantize) — 4x less transfer.
@@ -115,7 +136,29 @@ class ResNetInt8Engine:
 
     def stem_grid(self) -> Grid:
         """The (scale, zp) grid host-side ingest must quantize onto."""
-        return _grid_of(self._node("stem"))
+        node = self._node("stem")
+        if node is None:
+            raise ValueError("excluded (fp32) stem has no ingest grid — "
+                             "feed fp32 images via forward()")
+        return _grid_of(node)
+
+    def _fold_fp32(self, name: str):
+        """Eval-time BN fold of an excluded ConvBN's fp32 params."""
+        p = self.params.get(name)
+        if p is None or "kernel" not in p:
+            raise ValueError(f"layer {name} neither quantized nor in params")
+        w = jnp.asarray(p["kernel"], jnp.float32)
+        bn = (self.batch_stats or {}).get(name)
+        if bn is not None and "mean" in bn:
+            gamma = jnp.asarray(p["scale"], jnp.float32)
+            sigma = jnp.sqrt(jnp.asarray(bn["var"], jnp.float32) + BN_EPS)
+            b = (jnp.asarray(p["bias"], jnp.float32)
+                 - gamma * jnp.asarray(bn["mean"], jnp.float32) / sigma)
+            w = w * (gamma / sigma)
+        else:
+            b = jnp.asarray(p.get("bias", jnp.zeros((w.shape[-1],))),
+                            jnp.float32)
+        return w, b
 
     # -- frozen-node helpers ---------------------------------------------
 
@@ -202,11 +245,28 @@ class ResNetInt8Engine:
     def _stem(self, x: Array, first_grid: Grid,
               pre_quantized: bool = False) -> Array:
         node = self._node("stem")
-        if node is None:
-            raise NotImplementedError(
-                "excluded stem: use the module SERVE path")
         cifar = self.arch.get("cifar_stem", False)
         strides = (1, 1) if cifar else (2, 2)
+        if node is None:
+            # Excluded stem: fp32 conv (BN folded at build), relu, quantize
+            # onto the first block's grid, then max-pool on int8 codes
+            # (pooling commutes with the monotonic quantizer).
+            if pre_quantized:
+                raise ValueError(
+                    "int8 ingest is unavailable with an excluded fp32 stem")
+            w, b = self._stem_fp32
+            y = jax.lax.conv_general_dilated(
+                jnp.asarray(x, jnp.float32), w, window_strides=strides,
+                padding="SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32) + b
+            y = jnp.maximum(y, 0.0)
+            fs, fz, fsym = _grid_parts(first_grid)
+            y_q = qops.quantize_act(y, fs, fz, symmetric=fsym)
+            if not cifar:
+                y_q = jax.lax.reduce_window(
+                    y_q, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1),
+                    (1, 2, 2, 1), "SAME")
+            return y_q
         if pre_quantized:
             x_q = x                      # already on the stem's grid (int8)
         else:
@@ -226,7 +286,7 @@ class ResNetInt8Engine:
         down = self._node(name, "down")
         if (down is None and strides == (1, 1)
                 and name in self._qblock_prep
-                and not _grid_parts(next_grid)[2]
+                and next_grid is not None and not _grid_parts(next_grid)[2]
                 and x_q.shape[2] % self._qblock_prep[name]["pair"] == 0):
             return self._qblock(x_q, name, next_grid)
         a = self._gemm(x_q, c1, relu=True, requant=_grid_of(c2),
@@ -235,7 +295,7 @@ class ResNetInt8Engine:
                            requant=_grid_of(c3))
         if down is not None:
             x_d = x_q[:, ::strides[0], ::strides[1], :]
-            if self.use_dual:
+            if self.use_dual and next_grid is not None:
                 return self._dual_project(b, c3, x_d, down, next_grid)
             res = self._gemm(x_d, down,
                              relu=False, requant=None, out_dtype=jnp.float32)
@@ -244,9 +304,11 @@ class ResNetInt8Engine:
             res = x_q                # int8 codes reused: zero extra traffic
             res_grid = x_grid
         # project 1x1 with residual add + relu + requant fused in the epilogue
+        # (next_grid None — excluded fp32 fc — leaves the output in fp32)
         return self._gemm(b, c3, relu=True, requant=next_grid,
-                          out_dtype=jnp.int8, residual=res,
-                          res_grid=res_grid)
+                          out_dtype=jnp.int8 if next_grid is not None
+                          else jnp.float32,
+                          residual=res, res_grid=res_grid)
 
     def _dual_project(self, b: Array, c3: Dict[str, Array], x_d: Array,
                       down: Dict[str, Array], next_grid: Grid) -> Array:
@@ -283,6 +345,8 @@ class ResNetInt8Engine:
         else:
             r = self._dequant(x_q, x_grid)
         y = jnp.maximum(b + r, 0.0)
+        if next_grid is None:        # excluded fp32 fc consumes fp32
+            return y
         ns, nz, nsym = _grid_parts(next_grid)
         return qops.quantize_act(y, ns, nz, symmetric=nsym)
 
@@ -291,8 +355,6 @@ class ResNetInt8Engine:
         names = self._block_names()
         first = self._node(names[0][0], "conv1")
         fc = self._node("fc")
-        if fc is None:
-            raise NotImplementedError("excluded fc: use the module SERVE path")
         with annotate("stem"):
             x_q = self._stem(x, _grid_of(first), pre_quantized=pre_quantized)
         grid = _grid_of(first)
@@ -301,12 +363,17 @@ class ResNetInt8Engine:
             if idx + 1 < len(names):
                 nxt = _grid_of(self._node(names[idx + 1][0], "conv1"))
             else:
-                nxt = _grid_of(fc)
+                # excluded fp32 fc: the final block emits fp32 (no requant)
+                nxt = _grid_of(fc) if fc is not None else None
             step = self._bottleneck if bottleneck else self._basic
             with annotate(name):
                 x_q = step(x_q, grid, name, strides, nxt)
             grid = nxt
         with annotate("head"):
+            if fc is None:
+                pooled = jnp.mean(x_q, axis=(1, 2))   # fp32 from final block
+                w, b = self._fc_fp32
+                return pooled @ w + b
             pooled = jnp.mean(self._dequant(x_q, grid), axis=(1, 2))
             x_fc_q = qops.quantize_act(pooled, fc["act_scale"], fc["act_zp"],
                                        symmetric=_grid_of(fc)[2])
