@@ -22,6 +22,8 @@ from typing import Optional, Sequence, Tuple, Union
 import jax
 import jax.numpy as jnp
 
+from qtpu.utils import debug
+
 Array = jax.Array
 
 
@@ -44,6 +46,7 @@ def qconv2d(x_q: Array, w_q: Array, *, strides: Tuple[int, int] = (1, 1),
     ``zp`` (integer-valued scalar) is the activation zero-point used for
     padding; pass None for symmetric activations (pad with 0).
     """
+    debug.check_int_inputs(x_q, w_q, what="qconv2d")
     if isinstance(padding, str) and padding.upper() == "SAME":
         pads = same_pads(x_q.shape[1:3], w_q.shape[:2], strides)
     elif isinstance(padding, str):
@@ -64,6 +67,7 @@ def qconv2d(x_q: Array, w_q: Array, *, strides: Tuple[int, int] = (1, 1),
 
 def qmatmul(x_q: Array, w_q: Array) -> Array:
     """int8 (…, K) × int8 (K, N) → int32 (…, N)."""
+    debug.check_int_inputs(x_q, w_q, what="qmatmul")
     return jax.lax.dot_general(
         x_q, w_q, dimension_numbers=(((x_q.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
@@ -81,6 +85,7 @@ def quantize_act(x: Array, scale: Array, zp: Array, bits: int = 8,
     tie boundaries, which would otherwise make integer serving diverge from
     the calibrated simulation.
     """
+    debug.check_quant_grid(scale, zp, what="quantize_act")
     qmax = (1 << (bits - 1)) - 1
     if symmetric:
         q = jnp.clip(jnp.round(x / scale), -qmax, qmax)

@@ -24,6 +24,7 @@ from qtpu.nn.config import QuantMode
 from qtpu.nn.layers import BN_EPS
 from qtpu.ops import fakequant as fq
 from qtpu.transform.convert import set_mode
+from qtpu.utils import debug
 
 Variables = Dict[str, Any]
 
@@ -151,6 +152,9 @@ def freeze(qmodel: nn.Module, variables: Variables, sample: jax.Array,
                          ).astype(jnp.int32)
         node["act_scale"] = a_scale.reshape(())
         node["act_zp"] = zp_signed.reshape(())
+        debug.check_frozen_node(node, bits=spec.w_bits,
+                                packed=w_store.shape != w_q.shape,
+                                path="/".join(path))
 
     serve_vars["qweights"] = qw
     return serve_model, serve_vars
