@@ -35,7 +35,7 @@ Array = jax.Array
 
 def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
             *rest, requant: bool, requant_affine: bool, relu: bool,
-            act_max: bool, residual: bool):
+            act_max: bool, residual: bool, w_packed: bool):
     if residual:
         res_ref, out_ref, acc_ref = rest
     else:
@@ -46,9 +46,27 @@ def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jax.lax.dot_general(
-        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+    if w_packed:
+        # int4 nibbles unpacked HERE, in VMEM — the packed (bk, bn/2) block
+        # is all that crosses HBM (half the int8 weight traffic; SURVEY §7.2
+        # "unpack inside the kernel").  pack_int4_halves layout: low nibble =
+        # tile column t, high nibble = tile column t + bn/2.  Sign-extend in
+        # int32 (Mosaic's int8 shift support is narrower), cast back to int8
+        # so both dots still ride the MXU int8 path.
+        wp = w_ref[:].astype(jnp.int32)
+        w_lo = ((wp << 28) >> 28).astype(jnp.int8)
+        w_hi = (wp >> 4).astype(jnp.int8)
+        half = w_ref.shape[1]
+        acc_ref[:, :half] += jax.lax.dot_general(
+            x_ref[:], w_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc_ref[:, half:] += jax.lax.dot_general(
+            x_ref[:], w_hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    else:
+        acc_ref[:] += jax.lax.dot_general(
+            x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _epilogue():
@@ -81,8 +99,21 @@ def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
         out_ref[:] = y.astype(out_ref.dtype)
 
 
+def pack_int4_halves(w: Array, bn: int) -> Array:
+    """Pack unpacked int4 codes (int8 (K, N), values in ±7) for the kernel's
+    in-VMEM unpack: within each ``bn``-column tile, byte ``t`` holds tile
+    column ``t`` (low nibble) and tile column ``t + bn/2`` (high nibble).
+    Requires N % bn == 0 and (bn/2) % 128 == 0 (lane-sliceable halves).
+    """
+    K, N = w.shape
+    assert N % bn == 0 and (bn // 2) % 128 == 0, (N, bn)
+    t = w.reshape(K, N // bn, 2, bn // 2)
+    lo, hi = t[:, :, 0, :], t[:, :, 1, :]
+    return ((lo & 0x0F) | (hi << 4)).astype(jnp.int8).reshape(K, N // 2)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype", "interpret", "relu", "act_max"))
+    jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype", "interpret", "relu", "act_max", "w_packed"))
 def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
                   w_scale: Array, colsum: Array, bias: Optional[Array] = None,
                   requant_scale: Optional[Array] = None,
@@ -93,7 +124,8 @@ def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
                   bm: int = 1024, bn: int = 512, bk: int = 4096,
                   out_dtype=jnp.float32, interpret: bool = False,
                   relu: bool = False,
-                  act_max: Optional[float] = None) -> Array:
+                  act_max: Optional[float] = None,
+                  w_packed: bool = False) -> Array:
     """int8 (M,K) × int8 (K,N) → out_dtype (M,N) with fused dequant.
 
     Shapes must tile evenly (pad at the call site; serving shapes are static).
@@ -107,10 +139,15 @@ def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
     """
     M, K = x_q.shape
     K2, N = w_q.shape
+    if w_packed:
+        N *= 2          # w_q is pack_int4_halves output: (K, N/2) bytes
     assert K == K2, (x_q.shape, w_q.shape)
     bm, bn, bk = min(bm, M), min(bn, N), min(bk, K)
     assert M % bm == 0 and N % bn == 0 and K % bk == 0, (
         f"shapes ({M},{N},{K}) must tile by ({bm},{bn},{bk})")
+    if w_packed:
+        assert (bn // 2) % 128 == 0, (
+            f"packed int4 needs lane-sliceable halves: bn={bn}")
     if bias is None:
         bias = jnp.zeros((N,), jnp.float32)
     requant = requant_scale is not None
@@ -143,7 +180,8 @@ def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
         pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
-        pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+        pl.BlockSpec((bk, bn // 2 if w_packed else bn),
+                     lambda i, j, k: (k, j)),
         pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
         pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
         pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
@@ -157,7 +195,7 @@ def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
         functools.partial(_kernel, requant=requant,
                           requant_affine=requant_zp is not None, relu=relu,
                           act_max=act_max is not None,
-                          residual=residual is not None),
+                          residual=residual is not None, w_packed=w_packed),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),

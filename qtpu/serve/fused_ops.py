@@ -54,6 +54,10 @@ def unpacked_kernel(node: Dict[str, Array]) -> Array:
     return w
 
 
+def is_int4(node: Dict[str, Array]) -> bool:
+    return node["kernel_q"].shape[-1] != node["colsum"].shape[0]
+
+
 def best_tile(n: int, candidates=(1024, 512, 256, 128, 64, 32, 16, 8)) -> int:
     for c in candidates:
         if n % c == 0:
@@ -91,8 +95,16 @@ def gemm_1x1(x_q: Array, node: Dict[str, Array], *, relu: bool = False,
              act_max: Optional[float] = None, requant: Optional[Grid] = None,
              out_dtype=jnp.float32, residual: Optional[Array] = None,
              res_grid: Optional[Grid] = None, use_pallas: bool = True,
-             min_ci_pallas: int = 64) -> Array:
-    """1×1 conv as a fused GEMM over a frozen node."""
+             min_ci_pallas: int = 64, packed_int4: bool = False) -> Array:
+    """1×1 conv as a fused GEMM over a frozen node.
+
+    ``packed_int4``: for int4 nodes on the Pallas path, ship nibble-packed
+    (K, N/2) weight blocks to VMEM and unpack inside the kernel — halves the
+    weight HBM traffic.  Measured on-chip (scripts/chip_int4_unpack_bench,
+    2026-08-17): 1.32x in the weight-bound regime (small M: K=512, N=2048,
+    M=512), 0.9-0.95x when compute-bound (the unpack VPU work re-runs per
+    M-tile) — so callers should enable it for latency-serving batch sizes.
+    """
     B, H, W, Ci = x_q.shape
     w = unpacked_kernel(node)
     w = w.reshape(w.shape[-2:])
@@ -101,6 +113,12 @@ def gemm_1x1(x_q: Array, node: Dict[str, Array], *, relu: bool = False,
     rs, rz, rsym = grid_parts(requant)
     if (use_pallas and M % 32 == 0 and Co % 32 == 0 and Ci % 64 == 0
             and Ci >= min_ci_pallas):
+        bn = lane_tile(Co)
+        w_packed = (packed_int4 and is_int4(node) and (bn // 2) % 128 == 0
+                    and Co % bn == 0)
+        if w_packed:
+            from qtpu.ops.pallas.qmatmul import pack_int4_halves
+            w = pack_int4_halves(w, bn)
         res2 = residual.reshape(M, Co) if residual is not None else None
         res_s = res_grid[0] if res_grid is not None else None
         res_z = (res_grid[1].astype(jnp.float32)
@@ -114,8 +132,8 @@ def gemm_1x1(x_q: Array, node: Dict[str, Array], *, relu: bool = False,
             requant_zp=None if rsym else rz,
             relu=relu, act_max=act_max, residual=res2,
             res_scale=res_s, res_zp=res_z, bm=best_tile(M),
-            bn=lane_tile(Co), bk=min(Ci, 4096),
-            out_dtype=out_dtype)
+            bn=bn, bk=min(Ci, 4096),
+            out_dtype=out_dtype, w_packed=w_packed)
         return y.reshape(B, H, W, Co)
     # XLA fallback: stay in NHWC via a 1x1 conv — reshaping to (M, C) forces
     # a physical relayout whenever C is not lane-aligned (all of MobileNet),

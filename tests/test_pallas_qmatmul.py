@@ -75,3 +75,35 @@ def test_misaligned_shape_raises():
         qmatmul_fused(xq, wq, act_scale=jnp.float32(0.02),
                       act_zp=jnp.int32(0), w_scale=ws, colsum=cs,
                       bm=128, bn=128, bk=256, interpret=INTERPRET)
+
+
+def test_packed_int4_inkernel_unpack_exact():
+    """w_packed=True (in-VMEM nibble unpack) matches unpack-outside exactly."""
+    from qtpu.ops.pallas.qmatmul import pack_int4_halves
+    M, K, N, bn = 128, 256, 512, 256
+    xq = jax.random.randint(KEY, (M, K), -127, 128, dtype=jnp.int8)
+    w4 = jax.random.randint(jax.random.fold_in(KEY, 9), (K, N), -7, 8,
+                            dtype=jnp.int8)
+    ws = jax.random.uniform(jax.random.fold_in(KEY, 2), (N,), jnp.float32,
+                            0.001, 0.01)
+    cs = jnp.sum(w4.astype(jnp.int32), axis=0)
+    b = jax.random.normal(jax.random.fold_in(KEY, 3), (N,))
+    kw = dict(act_scale=jnp.float32(0.02), act_zp=jnp.int32(5), w_scale=ws,
+              colsum=cs, bias=b, requant_scale=jnp.float32(0.05),
+              requant_zp=jnp.int32(-3), relu=True, out_dtype=jnp.int8,
+              bm=128, bn=bn, bk=128, interpret=INTERPRET)
+    ref = qmatmul_fused(xq, w4, **kw)
+    got = qmatmul_fused(xq, pack_int4_halves(w4, bn), w_packed=True, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pack_int4_halves_roundtrip():
+    from qtpu.ops.pallas.qmatmul import pack_int4_halves
+    w4 = jax.random.randint(KEY, (64, 512), -7, 8, dtype=jnp.int8)
+    p = pack_int4_halves(w4, bn=256)
+    assert p.shape == (64, 256)
+    lo = ((np.asarray(p).astype(np.int32) << 28) >> 28)
+    hi = (np.asarray(p).astype(np.int32) >> 4)
+    t = np.asarray(w4).reshape(64, 2, 2, 128)
+    np.testing.assert_array_equal(lo.reshape(64, 2, 128), t[:, :, 0, :])
+    np.testing.assert_array_equal(hi.reshape(64, 2, 128), t[:, :, 1, :])
