@@ -4,8 +4,12 @@ The reference's examples consume MNIST / CIFAR-10 / ImageNet (SURVEY.md §1.2 R1
 [K-med]; mount empty, §0).  This environment has **no network egress and no
 cached datasets** [E], so every loader:
 
-1. tries HuggingFace ``datasets`` (works if a cache appears in a later session),
-2. falls back to a *deterministic synthetic* dataset with the same shapes and
+1. tries an ``.npz`` cache (``$QTPU_DATA_DIR/<name>_<split>.npz``),
+2. tries an ImageFolder tree (``$QTPU_DATA_DIR/<name>/<split>/<class>/*.jpg``
+   — the standard ImageNet layout; decoded with PIL, resized/center-cropped
+   to the dataset's shape),
+3. tries HuggingFace ``datasets`` (works if a cache appears in a later session),
+4. falls back to a *deterministic synthetic* dataset with the same shapes and
    class count, flagged via ``Dataset.synthetic``.
 
 The synthetic task is built to be learnable by a small CNN (class-specific
@@ -96,6 +100,98 @@ def synthetic_dataset(name: str, split: str, n: Optional[int] = None,
                    num_classes=num_classes, synthetic=True)
 
 
+def _data_dir() -> str:
+    return os.environ.get("QTPU_DATA_DIR", "/root/data")
+
+
+def _try_npz(name: str, split: str, n: Optional[int]) -> Optional[Dataset]:
+    """``$QTPU_DATA_DIR/<name>_<split>.npz`` with ``images``/``labels``.
+
+    The fastest on-ramp for real data in an offline environment: any process
+    that can produce arrays can drop a cache here.  ``images`` may be uint8
+    (scaled by /255) or float32.
+    """
+    path = os.path.join(_data_dir(), f"{name}_{split}.npz")
+    if not os.path.isfile(path):
+        return None
+    with np.load(path) as z:
+        imgs, labels = z["images"], z["labels"]
+    if n:
+        imgs, labels = imgs[:n], labels[:n]
+    if imgs.dtype == np.uint8:
+        imgs = imgs.astype(np.float32) / 255.0
+    if imgs.ndim == 3:
+        imgs = imgs[..., None]
+    return Dataset(images=np.ascontiguousarray(imgs, np.float32),
+                   labels=np.asarray(labels, np.int32),
+                   num_classes=_SPECS[name]["num_classes"], synthetic=False)
+
+
+_IMG_EXTS = (".jpeg", ".jpg", ".png", ".bmp")
+
+
+def _decode_resize(path: str, shape: Tuple[int, int, int]) -> np.ndarray:
+    """PIL decode → shorter-side resize → center crop to (H, W, C)."""
+    from PIL import Image
+
+    h, w, c = shape
+    with Image.open(path) as im:
+        im = im.convert("L" if c == 1 else "RGB")
+        sw, sh = im.size
+        scale = max(h / sh, w / sw) * (256 / 224 if h >= 64 else 1.0)
+        im = im.resize((max(int(round(sw * scale)), w),
+                        max(int(round(sh * scale)), h)), Image.BILINEAR)
+        sw, sh = im.size
+        left, top = (sw - w) // 2, (sh - h) // 2
+        im = im.crop((left, top, left + w, top + h))
+        arr = np.asarray(im, np.float32) / 255.0
+    return arr[..., None] if arr.ndim == 2 else arr
+
+
+def _try_folder(name: str, split: str, n: Optional[int]) -> Optional[Dataset]:
+    """ImageFolder layout: ``<dir>/<name>/<split>/<class>/*.jpg``.
+
+    Class index = rank of the class directory name sorted lexicographically
+    (for ImageNet wnids this matches the conventional label order).  ``val``
+    is accepted as an alias when ``split='test'`` and vice versa.
+    """
+    base = os.path.join(_data_dir(), name)
+    aliases = {"test": ("test", "val", "validation"),
+               "val": ("val", "validation", "test")}
+    root = None
+    for s in aliases.get(split, (split,)):
+        cand = os.path.join(base, s)
+        if os.path.isdir(cand):
+            root = cand
+            break
+    if root is None:
+        return None
+    classes = sorted(d for d in os.listdir(root)
+                     if os.path.isdir(os.path.join(root, d)))
+    if not classes:
+        return None
+    spec = _SPECS[name]
+    files = []                       # (path, label), class-interleaved so a
+    per_class = {}                   # truncated n keeps label diversity
+    for ci, cname in enumerate(classes):
+        cdir = os.path.join(root, cname)
+        fs = sorted(f for f in os.listdir(cdir)
+                    if f.lower().endswith(_IMG_EXTS))
+        per_class[ci] = [(os.path.join(cdir, f), ci) for f in fs]
+    for i in range(max((len(v) for v in per_class.values()), default=0)):
+        for ci in range(len(classes)):
+            if i < len(per_class[ci]):
+                files.append(per_class[ci][i])
+    if not files:
+        return None
+    if n:
+        files = files[:n]
+    imgs = np.stack([_decode_resize(p, spec["shape"]) for p, _ in files])
+    labels = np.asarray([l for _, l in files], np.int32)
+    return Dataset(images=imgs, labels=labels,
+                   num_classes=spec["num_classes"], synthetic=False)
+
+
 def _try_hf(name: str, split: str, n: Optional[int]) -> Optional[Dataset]:
     spec = _SPECS[name]
     if spec["hf"] is None:
@@ -127,9 +223,10 @@ def load_dataset(name: str, split: str = "train", n: Optional[int] = None,
     """Load a named dataset; fall back to synthetic when real data is absent."""
     if name not in _SPECS:
         raise ValueError(f"unknown dataset {name!r}; have {sorted(_SPECS)}")
-    real = _try_hf(name, split, n)
-    if real is not None:
-        return real
+    for loader in (_try_npz, _try_folder, _try_hf):
+        real = loader(name, split, n)
+        if real is not None:
+            return real
     if not synthetic_ok:
         raise RuntimeError(
             f"dataset {name!r} unavailable offline and synthetic_ok=False")
