@@ -14,12 +14,13 @@ fp32 requant epilogues strictly in sequence.  Kept as a correct opt-in
 (`ResNetInt8Engine(use_qblock=True)`) and a base for kernel-scheduling
 experiments; it is NOT the default serving path.
 
+All three requant epilogues use the folded form (qops.epilogue_coeffs —
+round-2 finding: the f32 epilogue chain, not the MXU, bounds these fusions),
+so the kernel stays bit-identical to the 3-op XLA reference sequence.
+
 * conv1/conv3 are MXU GEMMs over (bb·H·W, C) views;
 * conv2 uses the same static-tap trick as qconv.py on a zp-padded VMEM
-  scratch that the kernel fills itself;
-* every requant step replicates qops.quantize_act exactly (affine grids),
-  so the fused block is bit-identical to the three-op reference sequence
-  (tests/test_pallas_qblock.py asserts zero code mismatches).
+  scratch that the kernel fills itself.
 
 Pixel pairing (``pair=2``): Mosaic only supports the (rows, C) ↔
 (bb, H, W·C) vector shape casts when C is a multiple of 128 lanes (measured
@@ -34,47 +35,38 @@ Weights/scales for all three convs are VMEM-resident for the whole grid.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from qtpu.ops import qops
+
 Array = jax.Array
 
 
-def _requant_affine(y: Array, scale, zp_u) -> Array:
-    q = jnp.round(y / scale + zp_u)
-    return jnp.clip(q, 0.0, 255.0) - 128.0
-
-
 def _kernel(scal_ref, x_ref, w1_ref, w2_ref, w3_ref,
-            ws1_ref, cs1_ref, b1_ref, ws2_ref, cs2_ref, b2_ref,
-            ws3_ref, cs3_ref, b3_ref, out_ref, pad_ref, *,
+            a1_ref, b1_ref, a2_ref, b2_ref, a3_ref, b3_ref,
+            out_ref, pad_ref, *,
             H: int, W: int, Cin: int, Cmid: int, KH: int, KW: int, P: int):
     bb = x_ref.shape[0]
     R = bb * H * W // P          # GEMM rows: P adjacent pixels per row
-    # scalar layout: [s_x, zp_x_f, s_a, zp_a_u, s_b, zp_b_u, s_out, zp_out_u,
-    #                 res_scale, res_zp_f]
-    s_x, zpx = scal_ref[0, 0], scal_ref[0, 1]
-    s_a, zpa_u = scal_ref[0, 2], scal_ref[0, 3]
-    s_b, zpb_u = scal_ref[0, 4], scal_ref[0, 5]
-    s_o, zpo_u = scal_ref[0, 6], scal_ref[0, 7]
-    res_s, res_z = scal_ref[0, 8], scal_ref[0, 9]
+    # scalar layout: [lo1, lo2, lo3, C_res] (lo_i = stage i's relu-merged
+    # lower code clip, i.e. its requant grid's unsigned zero point)
+    lo1, lo2, lo3, c_res = (scal_ref[0, 0], scal_ref[0, 1], scal_ref[0, 2],
+                            scal_ref[0, 3])
 
     x = x_ref[:].reshape(R, Cin * P)
-    # ---- conv1: (R, Cin·P) @ blockdiag_P(w1), dequant, relu, requant ----
+    # ---- conv1: (R, Cin·P) @ blockdiag_P(w1) → folded requant ----
     acc1 = jax.lax.dot_general(x, w1_ref[:], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
-    zpx_i = zpx.astype(jnp.int32)
-    y1 = (acc1 - zpx_i * cs1_ref[:]).astype(jnp.float32) * (s_x * ws1_ref[:])
-    y1 = jnp.maximum(y1 + b1_ref[:], 0.0)
-    a = _requant_affine(y1, s_a, zpa_u)                      # f32 codes -128..127
+    t1 = acc1.astype(jnp.float32) * a1_ref[:] + b1_ref[:]
+    a = jnp.clip(jnp.round(t1), lo1, 255.0) - 128.0
 
     # ---- conv2: zp-pad into scratch, 3x3 static taps ----
-    zpa_s = zpa_u - 128.0
-    pad_ref[:] = jnp.full_like(pad_ref, zpa_s.astype(jnp.int8))
+    pad_ref[:] = jnp.full_like(pad_ref, scal_ref[0, 4].astype(jnp.int8))
     pad_ref[:, KH // 2:KH // 2 + H, KW // 2 * Cmid:(KW // 2 + W) * Cmid] = (
         a.astype(jnp.int8).reshape(bb, H, W * Cmid))
     acc2 = jnp.zeros((R, Cmid * P), jnp.int32)
@@ -84,36 +76,31 @@ def _kernel(scal_ref, x_ref, w1_ref, w2_ref, w3_ref,
             acc2 = acc2 + jax.lax.dot_general(
                 win.reshape(R, Cmid * P), w2_ref[kh * KW + kw],
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
-    zpa_i = (zpa_u - 128.0).astype(jnp.int32)
-    y2 = (acc2 - zpa_i * cs2_ref[:]).astype(jnp.float32) * (s_a * ws2_ref[:])
-    y2 = jnp.maximum(y2 + b2_ref[:], 0.0)
-    b = _requant_affine(y2, s_b, zpb_u)
+    t2 = acc2.astype(jnp.float32) * a2_ref[:] + b2_ref[:]
+    b = jnp.clip(jnp.round(t2), lo2, 255.0) - 128.0
 
     # ---- conv3 + residual + relu + requant to the next block's grid ----
     acc3 = jax.lax.dot_general(b.astype(jnp.int8), w3_ref[:],
                                (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
-    zpb_i = (zpb_u - 128.0).astype(jnp.int32)
-    y3 = (acc3 - zpb_i * cs3_ref[:]).astype(jnp.float32) * (s_b * ws3_ref[:])
-    y3 = y3 + b3_ref[:]
-    y3 = y3 + (x.astype(jnp.float32) - res_z) * res_s        # int8 residual
-    y3 = jnp.maximum(y3, 0.0)
-    out = _requant_affine(y3, s_o, zpo_u)
+    t3 = acc3.astype(jnp.float32) * a3_ref[:] + b3_ref[:]
+    t3 = t3 + x.astype(jnp.float32) * c_res        # int8 residual (zp in B3)
+    out = jnp.clip(jnp.round(t3), lo3, 255.0) - 128.0
     out_ref[:] = out.astype(jnp.int8).reshape(bb, H, W * Cin)
 
 
 @functools.partial(jax.jit, static_argnames=("bb", "pair", "interpret"))
 def qbottleneck_fused(x_q: Array, *, w1: Array, w2: Array, w3: Array,
-                      scalars: Array, ws1: Array, cs1: Array, b1: Array,
-                      ws2: Array, cs2: Array, b2: Array, ws3: Array,
-                      cs3: Array, b3: Array, bb: int = 1, pair: int = 1,
+                      scalars: Array, a1: Array, b1: Array,
+                      a2: Array, b2: Array, a3: Array, b3: Array,
+                      bb: int = 1, pair: int = 1,
                       interpret: bool = False) -> Array:
     """Fused identity bottleneck on int8 codes.
 
     x_q: (B, H, W, Cin) int8 on the conv1 input grid.  w1 (Cin, Cmid),
-    w2 (KH*KW, Cmid, Cmid), w3 (Cmid, Cin) int8.  ``scalars``: (1, 10) f32 —
-    see the kernel's layout comment; built by ``block_scalars``.  Per-channel
-    vectors are (1, C) rows.  Returns int8 codes on the next block's grid.
+    w2 (KH*KW, Cmid, Cmid), w3 (Cmid, Cin) int8.  ``scalars``: (1, 5) f32 and
+    ``a*/b*``: (1, C) folded epilogue rows — built by ``block_coeffs``.
+    Returns int8 codes on the next block's grid.
 
     ``pair``: pixels per GEMM row (see module docstring).  The wrapper
     block-diagonalizes the weights and tiles the per-channel rows; W must be
@@ -138,16 +125,15 @@ def qbottleneck_fused(x_q: Array, *, w1: Array, w2: Array, w3: Array,
         w1, w3 = blockdiag(w1), blockdiag(w3)
         w2 = jax.vmap(blockdiag)(w2)
         tile = lambda v: jnp.tile(v, (1, P))
-        ws1, cs1, b1 = tile(ws1), tile(cs1), tile(b1)
-        ws2, cs2, b2 = tile(ws2), tile(cs2), tile(b2)
-        ws3, cs3, b3 = tile(ws3), tile(cs3), tile(b3)
+        a1, b1, a2, b2 = tile(a1), tile(b1), tile(a2), tile(b2)
+        a3, b3 = tile(a3), tile(b3)
     x3 = x_q.reshape(B, H, W * Cin)
     out = pl.pallas_call(
         functools.partial(_kernel, H=H, W=W, Cin=Cin, Cmid=Cmid, KH=KH,
                           KW=KW, P=P),
         grid=(B // bb,),
         in_specs=[
-            pl.BlockSpec((1, 10), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((bb, H, W * Cin), lambda i: (i, 0, 0)),
             pl.BlockSpec((Cin * P, Cmid * P), lambda i: (0, 0)),
             pl.BlockSpec((KHKW, Cmid * P, Cmid * P), lambda i: (0, 0, 0)),
@@ -156,9 +142,6 @@ def qbottleneck_fused(x_q: Array, *, w1: Array, w2: Array, w3: Array,
             pl.BlockSpec((1, Cmid * P), lambda i: (0, 0)),
             pl.BlockSpec((1, Cmid * P), lambda i: (0, 0)),
             pl.BlockSpec((1, Cmid * P), lambda i: (0, 0)),
-            pl.BlockSpec((1, Cmid * P), lambda i: (0, 0)),
-            pl.BlockSpec((1, Cmid * P), lambda i: (0, 0)),
-            pl.BlockSpec((1, Cin * P), lambda i: (0, 0)),
             pl.BlockSpec((1, Cin * P), lambda i: (0, 0)),
             pl.BlockSpec((1, Cin * P), lambda i: (0, 0)),
         ],
@@ -170,24 +153,38 @@ def qbottleneck_fused(x_q: Array, *, w1: Array, w2: Array, w3: Array,
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(scalars, x3, w1, w2, w3, ws1, cs1, b1, ws2, cs2, b2, ws3, cs3, b3)
+    )(scalars, x3, w1, w2, w3, a1, b1, a2, b2, a3, b3)
     return out.reshape(B, H, W, Cin)
 
 
-def block_scalars(c1: Dict[str, Array], c2: Dict[str, Array],
-                  c3: Dict[str, Array], next_grid: Tuple[Array, ...]
-                  ) -> Array:
-    """Pack the (1, 10) scalar vector from frozen conv nodes.
+def block_coeffs(c1: Dict[str, Array], c2: Dict[str, Array],
+                 c3: Dict[str, Array], next_grid: Tuple[Array, ...]
+                 ) -> Dict[str, Array]:
+    """Fold the three stage epilogues (qops.epilogue_coeffs) into the
+    kernel's operand set: scalars (1, 5) + per-channel (1, C) rows.
 
     ``next_grid`` = (scale, signed zp[, sym]) of the NEXT block's input
     quantizer.  Residual codes are on c1's input grid.  All grids must be
     affine (the engine only dispatches qblock for affine policies).
     """
-    to_u = lambda zp: zp.astype(jnp.float32) + 128.0
-    vals = [c1["act_scale"], c1["act_zp"].astype(jnp.float32),
-            c2["act_scale"], to_u(c2["act_zp"]),
-            c3["act_scale"], to_u(c3["act_zp"]),
-            next_grid[0], to_u(next_grid[1]),
-            c1["act_scale"], c1["act_zp"].astype(jnp.float32)]
-    return jnp.stack([jnp.asarray(v, jnp.float32).reshape(()) for v in vals]
-                     ).reshape(1, 10)
+    row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
+    co1, _ = qops.epilogue_coeffs(
+        act_scale=c1["act_scale"], act_zp=c1["act_zp"],
+        w_scale=c1["w_scale"], colsum=c1["colsum"], bias=c1["bias"],
+        requant_scale=c2["act_scale"], requant_zp=c2["act_zp"], relu=True)
+    co2, _ = qops.epilogue_coeffs(
+        act_scale=c2["act_scale"], act_zp=c2["act_zp"],
+        w_scale=c2["w_scale"], colsum=c2["colsum"], bias=c2["bias"],
+        requant_scale=c3["act_scale"], requant_zp=c3["act_zp"], relu=True)
+    co3, _ = qops.epilogue_coeffs(
+        act_scale=c3["act_scale"], act_zp=c3["act_zp"],
+        w_scale=c3["w_scale"], colsum=c3["colsum"], bias=c3["bias"],
+        requant_scale=next_grid[0], requant_zp=next_grid[1], relu=True,
+        res_scale=c1["act_scale"], res_zp=c1["act_zp"])
+    # slot 4: conv2's zp-padding value on the SIGNED grid (= lo2 - 128, but
+    # kept separate so the pad value stays an exact integer code)
+    zpa_s = jnp.asarray(c2["act_zp"], jnp.float32)
+    scal = jnp.stack([co1.lo, co2.lo, co3.lo, co3.C,
+                      zpa_s.reshape(())]).reshape(1, 5)
+    return dict(scalars=scal, a1=row(co1.A), b1=row(co1.B), a2=row(co2.A),
+                b2=row(co2.B), a3=row(co3.A), b3=row(co3.B))

@@ -17,7 +17,7 @@ Affine-activation correctness notes (the classic integer-conv pitfalls):
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import NamedTuple, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -94,6 +94,132 @@ def quantize_act(x: Array, scale: Array, zp: Array, bits: int = 8,
         zp_u = zp.astype(jnp.float32) + offset
         q = jnp.clip(jnp.round(x / scale + zp_u), 0, (1 << bits) - 1) - offset
     return q.astype(jnp.int8)
+
+
+class EpilogueCoeffs(NamedTuple):
+    """Folded per-channel epilogue coefficients (see :func:`epilogue_coeffs`).
+
+    ``A``/``B`` are (N,) f32; ``C``/``lo``/``hi`` are scalar f32.  The static
+    companion :class:`EpilogueMode` carries the Python-level flags.
+    """
+    A: Array
+    B: Array
+    C: Array
+    lo: Array
+    hi: Array
+
+
+class EpilogueMode(NamedTuple):
+    requant: bool          # True → int8 codes out; False → f32 out
+    shift: float           # 128.0 affine / 0.0 symmetric (requant only)
+    relu: bool             # f32-mode only (folded into lo when requant)
+    act_max: Optional[float]   # f32-mode only (folded into hi when requant)
+
+
+def epilogue_coeffs(*, act_scale: Array, act_zp: Array, w_scale: Array,
+                    colsum: Array, bias: Optional[Array] = None,
+                    requant_scale: Optional[Array] = None,
+                    requant_zp: Optional[Array] = None,
+                    requant_symmetric: bool = False,
+                    relu: bool = False, act_max: Optional[float] = None,
+                    res_scale: Optional[Array] = None,
+                    res_zp: Optional[Array] = None,
+                    res_f32: bool = False
+                    ) -> Tuple[EpilogueCoeffs, EpilogueMode]:
+    """Fold the dequant→(residual)→relu→requant chain into ≈half the VPU ops.
+
+    Round-2 trace finding (qtpu.bench.tracing, B=128): every conv fusion in
+    the flat engines is bound by the f32 *epilogue* element-wise chain, not
+    the MXU or HBM — identity-block fusions sit at ~50% of their roofline
+    with the MXU at 16-30%.  The sequential chain costs ~17 VPU ops/element;
+    algebraically folding it into ``clip(round(acc·A + B [+ r·C]), lo, hi)``
+    costs ~9.  This function is the single source of truth for the folding —
+    the XLA paths (qtpu.serve.fused_ops), the module SERVE path, and the
+    Pallas kernel wrappers all fold here so their outputs stay bit-identical
+    to each other.
+
+    Exactness notes (vs the sequential reference):
+
+    * relu merges into the lower clip: ``round`` is monotone and the affine
+      zero code ``zp_u`` is an exact integer, so
+      ``round(max(y,0)/s + zp_u) == max(round(y/s + zp_u), zp_u)``.
+    * ``act_max`` (relu6) merges into the upper clip the same way.
+    * the fp32 rounding of ``acc·A + B`` differs from the sequential
+      ``(acc − zp·colsum)·s_x·s_w + bias`` by ulps — codes at exact fp32 tie
+      boundaries may move by one step.  All cross-path parity in this repo
+      is therefore defined against *this* formula.
+
+    ``requant_zp`` is the signed-grid int zero point; None + ``requant_scale``
+    set means a symmetric grid.  ``res_scale``/``res_zp`` describe an int8
+    residual's grid; ``res_f32=True`` marks an f32 residual instead.
+    """
+    n = colsum.shape[-1]
+    A0 = jnp.asarray(act_scale, jnp.float32) * jnp.asarray(
+        w_scale, jnp.float32)
+    zc = (jnp.asarray(act_zp, jnp.int32) * jnp.asarray(colsum, jnp.int32)
+          ).astype(jnp.float32)
+    B0 = -A0 * zc
+    if bias is not None:
+        B0 = B0 + jnp.asarray(bias, jnp.float32)
+    if requant_scale is None:
+        C = jnp.float32(1.0)
+        if res_scale is not None:
+            C = jnp.asarray(res_scale, jnp.float32)
+            if res_zp is not None:
+                B0 = B0 - jnp.asarray(res_zp, jnp.float32) * C
+        co = EpilogueCoeffs(A=A0.reshape(n), B=B0.reshape(n), C=C,
+                            lo=jnp.float32(0), hi=jnp.float32(0))
+        return co, EpilogueMode(False, 0.0, relu, act_max)
+    inv = 1.0 / jnp.maximum(jnp.asarray(requant_scale, jnp.float32), 1e-12)
+    A = A0 * inv
+    B = B0 * inv
+    if res_f32:
+        C = inv
+    elif res_scale is not None:
+        C = jnp.asarray(res_scale, jnp.float32) * inv
+        if res_zp is not None:
+            B = B - jnp.asarray(res_zp, jnp.float32) * C
+    else:
+        C = jnp.float32(0.0)
+    if requant_zp is not None and not requant_symmetric:
+        zp_u = jnp.asarray(requant_zp, jnp.float32) + 128.0
+        B = B + zp_u
+        lo = zp_u if relu else jnp.float32(0.0)
+        hi = jnp.float32(255.0)
+        if act_max is not None:
+            hi = jnp.minimum(hi, jnp.round(act_max * inv + zp_u))
+        shift = 128.0
+    else:
+        lo = jnp.float32(0.0) if relu else jnp.float32(-127.0)
+        hi = jnp.float32(127.0)
+        if act_max is not None:
+            hi = jnp.minimum(hi, jnp.round(act_max * inv))
+        shift = 0.0
+    co = EpilogueCoeffs(A=A.reshape(n), B=B.reshape(n), C=C,
+                        lo=jnp.asarray(lo, jnp.float32), hi=hi)
+    return co, EpilogueMode(True, shift, relu, act_max)
+
+
+def apply_epilogue(acc: Array, co: EpilogueCoeffs, mode: EpilogueMode,
+                   residual: Optional[Array] = None,
+                   out_dtype=None) -> Array:
+    """Apply folded epilogue coefficients to an int32 accumulator.
+
+    ``residual`` may be int8 codes (grid folded into ``co``) or f32.  With
+    ``mode.requant`` the result is int8 codes; otherwise f32 (optionally
+    relu/act_max-clipped).
+    """
+    t = acc.astype(jnp.float32) * co.A + co.B
+    if residual is not None:
+        t = t + residual.astype(jnp.float32) * co.C
+    if mode.requant:
+        q = jnp.clip(jnp.round(t), co.lo, co.hi) - mode.shift
+        return q.astype(out_dtype or jnp.int8)
+    if mode.relu:
+        t = jnp.maximum(t, 0.0)
+    if mode.act_max is not None:
+        t = jnp.minimum(t, mode.act_max)
+    return t if out_dtype is None else t.astype(out_dtype)
 
 
 def dequant_epilogue(acc: Array, *, act_scale: Array, act_zp: Array,

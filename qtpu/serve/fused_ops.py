@@ -137,28 +137,39 @@ def gemm_1x1(x_q: Array, node: Dict[str, Array], *, relu: bool = False,
         return y.reshape(B, H, W, Co)
     # XLA fallback: stay in NHWC via a 1x1 conv — reshaping to (M, C) forces
     # a physical relayout whenever C is not lane-aligned (all of MobileNet),
-    # which measured 3x slower end-to-end than the conv form.
+    # which measured 3x slower end-to-end than the conv form.  The epilogue
+    # runs folded (qops.epilogue_coeffs): the round-2 trace showed the f32
+    # epilogue chain, not the MXU, bounds every fusion in the flat engines.
     acc = qops.qconv2d(x_q, w.reshape(1, 1, Ci, Co), zp=node["act_zp"])
-    y = qops.dequant_epilogue(acc, act_scale=node["act_scale"],
-                              act_zp=node["act_zp"], w_scale=node["w_scale"],
-                              colsum=node["colsum"], bias=node["bias"])
-    if residual is not None:
-        r = residual.reshape(B, H, W, Co)
-        if r.dtype == jnp.int8:
-            r = (r.astype(jnp.float32)
-                 - res_grid[1].astype(jnp.float32)) * res_grid[0]
-        y = y + r
-    return _finish(y, relu, act_max, requant)
+    res = residual.reshape(B, H, W, Co) if residual is not None else None
+    res_int8 = res is not None and res.dtype == jnp.int8
+    gs, gz, _ = grid_parts(res_grid) if res_int8 else (None, None, False)
+    co, mode = qops.epilogue_coeffs(
+        act_scale=node["act_scale"], act_zp=node["act_zp"],
+        w_scale=node["w_scale"], colsum=node["colsum"], bias=node["bias"],
+        requant_scale=rs, requant_zp=rz, requant_symmetric=rsym,
+        relu=relu, act_max=act_max,
+        res_scale=gs, res_zp=gz,
+        res_f32=res is not None and not res_int8)
+    return qops.apply_epilogue(
+        acc, co, mode, residual=res,
+        out_dtype=jnp.int8 if mode.requant else out_dtype)
 
 
 def conv_xla(x_q: Array, node: Dict[str, Array], *, strides=(1, 1),
              groups: int = 1, relu: bool = False,
              act_max: Optional[float] = None,
              requant: Optional[Grid] = None) -> Array:
-    """K×K (optionally grouped/depthwise, strided) conv via XLA int8."""
+    """K×K (optionally grouped/depthwise, strided) conv via XLA int8.
+
+    Epilogue runs folded (see gemm_1x1 / qops.epilogue_coeffs).
+    """
     acc = qops.qconv2d(x_q, unpacked_kernel(node), strides=strides,
                        padding="SAME", groups=groups, zp=node["act_zp"])
-    y = qops.dequant_epilogue(acc, act_scale=node["act_scale"],
-                              act_zp=node["act_zp"], w_scale=node["w_scale"],
-                              colsum=node["colsum"], bias=node["bias"])
-    return _finish(y, relu, act_max, requant)
+    rs, rz, rsym = grid_parts(requant)
+    co, mode = qops.epilogue_coeffs(
+        act_scale=node["act_scale"], act_zp=node["act_zp"],
+        w_scale=node["w_scale"], colsum=node["colsum"], bias=node["bias"],
+        requant_scale=rs, requant_zp=rz, requant_symmetric=rsym,
+        relu=relu, act_max=act_max)
+    return qops.apply_epilogue(acc, co, mode)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from qtpu.bench.profile import annotate
 from qtpu.nn.layers import BN_EPS
 from qtpu.ops import qops
-from qtpu.ops.pallas.qblock import block_scalars, qbottleneck_fused
+from qtpu.ops.pallas.qblock import block_coeffs, qbottleneck_fused
 from qtpu.ops.pallas.qmatmul_dual import qmatmul_dual
 from qtpu.serve.fused_ops import (Grid, best_tile as _best_tile,
                                   conv_xla as _fused_conv,
@@ -181,7 +181,6 @@ class ResNetInt8Engine:
 
     def _prepare_qblocks(self) -> None:
         """Reshape identity-bottleneck weights once for qbottleneck_fused."""
-        row = lambda v: jnp.asarray(v).reshape(1, -1)
         for name, _, j in self._block_names():
             if j == 0:          # projection/strided block: unfused path
                 continue
@@ -206,20 +205,14 @@ class ResNetInt8Engine:
             self._qblock_prep[name] = dict(
                 pair=pair,
                 w1=w1.reshape(cin, cmid), w2=w2.reshape(kh * kw, cmid, cmid),
-                w3=w3.reshape(cmid, cin),
-                ws1=row(c1["w_scale"]), cs1=row(c1["colsum"]),
-                b1=row(c1["bias"]),
-                ws2=row(c2["w_scale"]), cs2=row(c2["colsum"]),
-                b2=row(c2["bias"]),
-                ws3=row(c3["w_scale"]), cs3=row(c3["colsum"]),
-                b3=row(c3["bias"]))
+                w3=w3.reshape(cmid, cin))
 
     def _qblock(self, x_q: Array, name: str, next_grid: Grid) -> Array:
         c1, c2, c3 = (self._node(name, k) for k in ("conv1", "conv2", "conv3"))
         B, H, W, _ = x_q.shape
         prep = self._qblock_prep[name]
         return qbottleneck_fused(
-            x_q, scalars=block_scalars(c1, c2, c3, next_grid),
+            x_q, **block_coeffs(c1, c2, c3, next_grid),
             bb=_qblock_bb(B, H, W), interpret=self.qblock_interpret, **prep)
 
     # -- fused layer primitives ------------------------------------------

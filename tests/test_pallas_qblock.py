@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from qtpu.ops.pallas.qblock import block_scalars, qbottleneck_fused
+from qtpu.ops.pallas.qblock import block_coeffs, qbottleneck_fused
 from qtpu.serve.fused_ops import conv_xla, gemm_1x1, grid_of
 
 KEY = jax.random.PRNGKey(7)
@@ -62,10 +62,7 @@ def test_qblock_bit_identical_to_sequence(B, H, cin, cmid, pair):
         w1=c1["kernel_q"].reshape(cin, cmid),
         w2=c2["kernel_q"].reshape(9, cmid, cmid),
         w3=c3["kernel_q"].reshape(cmid, cin),
-        scalars=block_scalars(c1, c2, c3, next_grid),
-        ws1=_row(c1["w_scale"]), cs1=_row(c1["colsum"]), b1=_row(c1["bias"]),
-        ws2=_row(c2["w_scale"]), cs2=_row(c2["colsum"]), b2=_row(c2["bias"]),
-        ws3=_row(c3["w_scale"]), cs3=_row(c3["colsum"]), b3=_row(c3["bias"]),
+        **block_coeffs(c1, c2, c3, next_grid),
         bb=1, pair=pair, interpret=True)
 
     assert out.shape == ref.shape == x_q.shape
@@ -87,10 +84,7 @@ def test_qblock_bb_tiling():
         w1=c1["kernel_q"].reshape(cin, cmid),
         w2=c2["kernel_q"].reshape(9, cmid, cmid),
         w3=c3["kernel_q"].reshape(cmid, cin),
-        scalars=block_scalars(c1, c2, c3, next_grid),
-        ws1=_row(c1["w_scale"]), cs1=_row(c1["colsum"]), b1=_row(c1["bias"]),
-        ws2=_row(c2["w_scale"]), cs2=_row(c2["colsum"]), b2=_row(c2["bias"]),
-        ws3=_row(c3["w_scale"]), cs3=_row(c3["colsum"]), b3=_row(c3["bias"]),
+        **block_coeffs(c1, c2, c3, next_grid),
         interpret=True)
     o1 = qbottleneck_fused(x_q, bb=1, **kwargs)
     o4 = qbottleneck_fused(x_q, bb=4, **kwargs)
