@@ -32,6 +32,8 @@ from qtpu.bench.profile import annotate
 from qtpu.nn.layers import BN_EPS
 from qtpu.ops import qops
 from qtpu.ops.pallas.qblock import block_coeffs, qbottleneck_fused
+from qtpu.ops.pallas.qproj import proj_coeffs, qproj_fused
+from qtpu.ops.pallas.qtail import qtail_fused, tail_coeffs
 from qtpu.ops.pallas.qmatmul_dual import qmatmul_dual
 from qtpu.serve.fused_ops import (Grid, best_tile as _best_tile,
                                   conv_xla as _fused_conv,
@@ -70,7 +72,10 @@ class ResNetInt8Engine:
                  use_pallas: bool = False, min_ci_pallas: int = 64,
                  use_qblock: Optional[bool] = None,
                  qblock_interpret: bool = False,
-                 use_dual: bool = False):
+                 use_dual: bool = False,
+                 use_qtail: Optional[bool] = None,
+                 qtail_interpret: bool = False,
+                 use_qproj: Optional[bool] = None):
         self.qw = variables["qweights"]
         # fp32 params/batch-stats: only consulted for *excluded* layers
         # (config 5 excludes stem*/fc — SURVEY.md §1.2 canonical first/last
@@ -112,6 +117,33 @@ class ResNetInt8Engine:
         # occasional requant codes (argmax agreement still 1.0).  Kept as an
         # opt-in experiment record; default path stays XLA.
         self.use_dual = use_dual and jax.devices()[0].platform == "tpu"
+        # use_qtail: fuse the identity-bottleneck TAIL (conv2→conv3+residual)
+        # into one Pallas kernel (qtpu.ops.pallas.qtail), targeting XLA's
+        # 38-55%-of-roofline block fusions.  conv1 stays on the XLA path
+        # (its fusion already runs at HBM rate).  Default OFF: measured
+        # 2026-08-18 (scripts/chip_qtail_bench.py, B=128, one process):
+        # 8.39 ms XLA vs 23.6 ms with qtail+qproj — bit-identical but the
+        # monolithic per-step bodies serialize against their DMA just like
+        # qblock did.  Kept as a validated opt-in for kernel-scheduling
+        # work; see the chip script for per-stage numbers.
+        if use_qtail is None:
+            use_qtail = False
+        self.use_qtail = (use_qtail and self.arch.get("bottleneck", True)
+                          and not self.use_qblock)
+        self.qtail_interpret = qtail_interpret
+        self._qtail_prep: Dict[str, Dict[str, Any]] = {}
+        if self.use_qtail:
+            self._prepare_qtails()
+        # use_qproj: fuse the projection-block tail (conv3 + downsample GEMM
+        # + relu + requant) into one Pallas kernel (qtpu.ops.pallas.qproj),
+        # eliminating the downsample branch's f32 HBM round trip (411 MB at
+        # layer1_0/B=128 — the single most expensive block in the round-2
+        # trace).  Defaults to use_qtail's resolution.
+        self.use_qproj = (self.use_qtail if use_qproj is None else
+                          (use_qproj and self.arch.get("bottleneck", True)))
+        self._qproj_prep: Dict[str, Dict[str, Any]] = {}
+        if self.use_qproj:
+            self._prepare_qprojs()
         self._qblock_prep: Dict[str, Dict[str, Array]] = {}
         if self.use_qblock:
             self._prepare_qblocks()
@@ -176,6 +208,81 @@ class ResNetInt8Engine:
             for j in range(n):
                 out.append((f"layer{i + 1}_{j}", i, j))
         return out
+
+    # -- fused bottleneck-tail kernel (round-2 default fast path) ----------
+
+    def _prepare_qtails(self) -> None:
+        """Reshape identity-block conv2/conv3 weights once for qtail_fused."""
+        for name, _, j in self._block_names():
+            if j == 0:          # projection/strided block: unfused path
+                continue
+            c2, c3 = self._node(name, "conv2"), self._node(name, "conv3")
+            if c2 is None or c3 is None:
+                continue
+            if any(_grid_of(c)[2] for c in (c2, c3)):
+                continue        # qtail requants affine-only (tail_coeffs)
+            w2 = _unpacked_kernel(c2)
+            w3 = _unpacked_kernel(c3)
+            kh, kw, cmid, cmid2 = w2.shape
+            cout = w3.shape[-1]
+            if (kh, kw) != (3, 3) or cmid != cmid2:
+                continue
+            # Mosaic shape-cast rule: (rows, C) <-> (bb, H, W*C) casts need
+            # C % 128 == 0; pair pixels (P=2) for Cmid=64 stages (layer1).
+            pair = 1 if cmid % 128 == 0 and cout % 128 == 0 else 2
+            if (cmid * pair) % 128 or (cout * pair) % 128:
+                continue
+            self._qtail_prep[name] = dict(
+                pair=pair, w2=w2.reshape(kh * kw, cmid, cmid),
+                w3=w3.reshape(cmid, cout))
+
+    def _prepare_qprojs(self) -> None:
+        """Reshape projection-block conv3/down weights once for qproj_fused."""
+        for name, _, j in self._block_names():
+            if j != 0:
+                continue
+            c3, down = self._node(name, "conv3"), self._node(name, "down")
+            if c3 is None or down is None:
+                continue
+            if _grid_of(c3)[2] or _grid_of(down)[2]:
+                continue        # qproj requants affine-only (proj_coeffs)
+            w3 = _unpacked_kernel(c3)
+            wd = _unpacked_kernel(down)
+            cmid, cout = w3.shape[-2:]
+            cin = wd.shape[-2]
+            pair = 1
+            while ((cmid * pair) % 128 or (cin * pair) % 128
+                   or (cout * pair) % 128):
+                pair *= 2
+                if pair > 4:
+                    break
+            if pair > 4:
+                continue
+            self._qproj_prep[name] = dict(
+                pair=pair, w3=w3.reshape(cmid, cout), wd=wd.reshape(cin, cout))
+
+    def _qproj(self, b: Array, x_d: Array, name: str,
+               next_grid: Grid) -> Array:
+        c3, down = self._node(name, "conv3"), self._node(name, "down")
+        prep = self._qproj_prep[name]
+        return qproj_fused(b, x_d, **proj_coeffs(c3, down, next_grid),
+                           interpret=self.qtail_interpret, **prep)
+
+    def _qtail(self, x_q: Array, x_grid: Grid, name: str,
+               next_grid: Grid) -> Array:
+        c1, c2, c3 = (self._node(name, k) for k in ("conv1", "conv2", "conv3"))
+        prep = self._qtail_prep[name]
+        a = self._gemm(x_q, c1, relu=True, requant=_grid_of(c2),
+                       out_dtype=jnp.int8)
+        # zp-pad for SAME conv2 — XLA streams this copy at HBM rate, which
+        # keeps the kernel free of the serialized in-kernel pad fill that
+        # sank the monolithic qblock kernel.
+        a_pad = jax.lax.pad(
+            a, c2["act_zp"].astype(jnp.int8),
+            ((0, 0, 0), (1, 1, 0), (1, 1, 0), (0, 0, 0)))
+        return qtail_fused(
+            a_pad, x_q, **tail_coeffs(c2, c3, next_grid, x_grid),
+            interpret=self.qtail_interpret, **prep)
 
     # -- fused whole-bottleneck kernel (ROADMAP #1) ------------------------
 
@@ -282,12 +389,22 @@ class ResNetInt8Engine:
                 and next_grid is not None and not _grid_parts(next_grid)[2]
                 and x_q.shape[2] % self._qblock_prep[name]["pair"] == 0):
             return self._qblock(x_q, name, next_grid)
+        if (down is None and strides == (1, 1)
+                and name in self._qtail_prep
+                and next_grid is not None and not _grid_parts(next_grid)[2]
+                and not _grid_parts(x_grid)[2]
+                and x_q.shape[2] % self._qtail_prep[name]["pair"] == 0):
+            return self._qtail(x_q, x_grid, name, next_grid)
         a = self._gemm(x_q, c1, relu=True, requant=_grid_of(c2),
                        out_dtype=jnp.int8)
         b = self._conv_xla(a, c2, strides=strides, relu=True,
                            requant=_grid_of(c3))
         if down is not None:
             x_d = x_q[:, ::strides[0], ::strides[1], :]
+            if (name in self._qproj_prep and next_grid is not None
+                    and not _grid_parts(next_grid)[2]
+                    and b.shape[2] % self._qproj_prep[name]["pair"] == 0):
+                return self._qproj(b, x_d, name, next_grid)
             if self.use_dual and next_grid is not None:
                 return self._dual_project(b, c3, x_d, down, next_grid)
             res = self._gemm(x_d, down,
