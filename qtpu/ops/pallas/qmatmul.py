@@ -30,11 +30,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from qtpu.ops import qops
+
 Array = jax.Array
 
 
-def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
-            *rest, requant: bool, requant_affine: bool, relu: bool,
+def _kernel(scal_ref, x_ref, w_ref, a_ref, b_ref,
+            *rest, requant: bool, shift: float, relu: bool,
             act_max: bool, residual: bool, w_packed: bool):
     if residual:
         res_ref, out_ref, acc_ref = rest
@@ -70,33 +72,22 @@ def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _epilogue():
-        act_scale = scal_ref[0, 0]
-        zp = zp_ref[0, 0]
-        corrected = acc_ref[:] - zp * cs_ref[:]          # int32, exact
-        y = corrected.astype(jnp.float32) * (act_scale * ws_ref[:]) + b_ref[:]
+        # folded form (qops.epilogue_coeffs): t = acc·A + B [+ r·C], then
+        # clip(round(t), lo, hi) − shift — bit-identical to the XLA path in
+        # qtpu.serve.fused_ops, which folds with the same helper.
+        t = acc_ref[:].astype(jnp.float32) * a_ref[:] + b_ref[:]
         if residual:
-            # fused residual add: int8 codes dequantized on their own grid
+            # fused residual add: int8 codes' grid is folded into (B, C)
             # (identity skip branches add ZERO extra f32 HBM traffic).
-            r = res_ref[:]
-            if r.dtype == jnp.int8:
-                y = y + (r.astype(jnp.float32) - scal_ref[0, 5]) * scal_ref[0, 4]
-            else:
-                y = y + r.astype(jnp.float32)
-        if relu:
-            y = jnp.maximum(y, 0.0)
-        if act_max:
-            y = jnp.minimum(y, scal_ref[0, 3])   # relu6-style upper clip
+            t = t + res_ref[:].astype(jnp.float32) * scal_ref[0, 0]
         if requant:
-            # fused requantization onto the next layer's grid, bit-matching
-            # qops.quantize_act: affine rounds (y/s + zp_u) on the unsigned
-            # grid then shifts; symmetric rounds y/s directly (adding an
-            # offset first would create false fp32 ties).
-            if requant_affine:
-                q = jnp.round(y / scal_ref[0, 1] + scal_ref[0, 2])
-                y = jnp.clip(q, 0.0, 255.0) - 128.0
-            else:
-                y = jnp.clip(jnp.round(y / scal_ref[0, 1]), -127.0, 127.0)
-        out_ref[:] = y.astype(out_ref.dtype)
+            t = jnp.clip(jnp.round(t), scal_ref[0, 1], scal_ref[0, 2]) - shift
+        else:
+            if relu:
+                t = jnp.maximum(t, 0.0)
+            if act_max:
+                t = jnp.minimum(t, scal_ref[0, 2])
+        out_ref[:] = t.astype(out_ref.dtype)
 
 
 def pack_int4_halves(w: Array, bn: int) -> Array:
@@ -148,52 +139,43 @@ def qmatmul_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
     if w_packed:
         assert (bn // 2) % 128 == 0, (
             f"packed int4 needs lane-sliceable halves: bn={bn}")
-    if bias is None:
-        bias = jnp.zeros((N,), jnp.float32)
-    requant = requant_scale is not None
-    rq_scale = (jnp.maximum(jnp.asarray(requant_scale, jnp.float32), 1e-12)
-                if requant else jnp.ones((), jnp.float32))
-    if requant_zp is None:   # symmetric requant grid (zp slot unused)
-        rzp = jnp.float32(0.0)
-        rlo = jnp.float32(0.0)
-    else:                    # affine: zp is the signed-grid int zero point
-        rzp = jnp.asarray(requant_zp, jnp.float32) + 128.0
-        rlo = jnp.float32(0.0)
-    if act_max is not None:
-        rlo = jnp.float32(act_max)   # slot 3 reused for the upper clip
-    rs = (jnp.asarray(res_scale, jnp.float32) if res_scale is not None
-          else jnp.zeros((), jnp.float32))
-    rz = (jnp.asarray(res_zp, jnp.float32) if res_zp is not None
-          else jnp.zeros((), jnp.float32))
-    scal = jnp.stack([jnp.asarray(act_scale, jnp.float32).reshape(()),
-                      rq_scale.reshape(()), rzp.reshape(()), rlo.reshape(()),
-                      rs.reshape(()), rz.reshape(())]).reshape(1, 6)
-    zp = jnp.asarray(act_zp, jnp.int32).reshape(1, 1)
-    ws = jnp.asarray(w_scale, jnp.float32).reshape(1, N)
-    cs = jnp.asarray(colsum, jnp.int32).reshape(1, N)
-    b = jnp.asarray(bias, jnp.float32).reshape(1, N)
+    # fold the epilogue ONCE (shared helper => bit-identical to the XLA
+    # path in qtpu.serve.fused_ops)
+    res_int8 = residual is not None and residual.dtype == jnp.int8
+    co, mode = qops.epilogue_coeffs(
+        act_scale=act_scale, act_zp=act_zp, w_scale=w_scale, colsum=colsum,
+        bias=bias, requant_scale=requant_scale, requant_zp=requant_zp,
+        relu=relu, act_max=act_max,
+        res_scale=res_scale if res_int8 else None,
+        res_zp=res_zp if res_int8 else None,
+        res_f32=residual is not None and not res_int8)
+    # scalar row: [C, lo, hi] (hi doubles as the f32-mode act_max clip)
+    hi = (co.hi if mode.requant
+          else jnp.float32(act_max if act_max is not None else 0.0))
+    scal = jnp.stack([jnp.asarray(co.C, jnp.float32).reshape(()),
+                      jnp.asarray(co.lo, jnp.float32).reshape(()),
+                      jnp.asarray(hi, jnp.float32).reshape(())]).reshape(1, 3)
+    a_row = co.A.reshape(1, N)
+    b_row = co.B.reshape(1, N)
 
     grid = (M // bm, N // bn, K // bk)
     in_specs = [
-        pl.BlockSpec((1, 6), lambda i, j, k: (0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
+        pl.BlockSpec((1, 3), lambda i, j, k: (0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
         pl.BlockSpec((bk, bn // 2 if w_packed else bn),
                      lambda i, j, k: (k, j)),
         pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
         pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
-        pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
     ]
-    inputs = [scal, zp, x_q, w_q, ws, cs, b]
+    inputs = [scal, x_q, w_q, a_row, b_row]
     if residual is not None:
         assert residual.shape == (M, N), residual.shape
         in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)))
         inputs.append(residual)
     return pl.pallas_call(
-        functools.partial(_kernel, requant=requant,
-                          requant_affine=requant_zp is not None, relu=relu,
+        functools.partial(_kernel, requant=mode.requant, shift=mode.shift,
+                          relu=relu,
                           act_max=act_max is not None,
                           residual=residual is not None, w_packed=w_packed),
         grid=grid,

@@ -130,6 +130,76 @@ def qproj_fused(b_q: Array, xd_q: Array, *, w3: Array, wd: Array,
     return out.reshape(B, H, W, Cout)
 
 
+def _kernel2d(scal_ref, b_ref, xd_ref, w3_ref, wd_ref,
+              a3_ref, b3_ref, ad_ref, bd_ref, out_ref):
+    lo, c_inv = scal_ref[0, 0], scal_ref[0, 1]
+    acc_a = jax.lax.dot_general(b_ref[:], w3_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    acc_d = jax.lax.dot_general(xd_ref[:], wd_ref[:],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    td = acc_d.astype(jnp.float32) * ad_ref[:] + bd_ref[:]
+    t = acc_a.astype(jnp.float32) * a3_ref[:] + b3_ref[:] + td * c_inv
+    out_ref[:] = (jnp.clip(jnp.round(t), lo, 255.0) - 128.0).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "interpret"))
+def qproj2d_fused(b_q: Array, xd_q: Array, *, w3: Array, wd: Array,
+                  scalars: Array, a3: Array, b3: Array, ad: Array, bd: Array,
+                  bm: int = 0, interpret: bool = False) -> Array:
+    """2-D form of :func:`qproj_fused`: (M, C) operands, zero layout casts.
+
+    The 3-D block form pays Mosaic vector relayouts for its
+    (bb, H, W·C) ↔ (rows, C) casts on every operand (measured 2-3× slower
+    than the XLA fusions it replaces — same pathology as qblock/qtail).
+    The NHWC→(M, C) reshape is done by the CALLER in XLA instead, where it
+    is a free byte-identity for lane-aligned C, and every kernel operand
+    then lives in its native (rows, lanes) layout.  K stays untiled (the
+    contraction dims here are 64–1024).
+    """
+    M, Cmid = b_q.shape
+    Cin = xd_q.shape[-1]
+    Cout = w3.shape[-1]
+    if not bm:
+        # largest divisor of M that keeps the two int32 accumulators under
+        # ~24MB of VMEM (M = B·H·W is rarely a power of two — scan divisors)
+        cap = min(M, max(256, (24 * 2 ** 20) // (8 * Cout)))
+        bm = 8
+        for d in range(cap, 7, -8):
+            if M % d == 0:
+                bm = d
+                break
+    bm = min(bm, M)
+    assert M % bm == 0, (M, bm)
+    out = pl.pallas_call(
+        _kernel2d,
+        grid=(M // bm,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, Cmid), lambda i: (i, 0)),
+            pl.BlockSpec((bm, Cin), lambda i: (i, 0)),
+            pl.BlockSpec((Cmid, Cout), lambda i: (0, 0)),
+            pl.BlockSpec((Cin, Cout), lambda i: (0, 0)),
+            pl.BlockSpec((1, Cout), lambda i: (0, 0)),
+            pl.BlockSpec((1, Cout), lambda i: (0, 0)),
+            pl.BlockSpec((1, Cout), lambda i: (0, 0)),
+            pl.BlockSpec((1, Cout), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, Cout), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, Cout), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * Cout * (Cmid + Cin),
+            bytes_accessed=M * (Cmid + Cin + Cout)
+            + (Cmid + Cin) * Cout,
+            transcendentals=0),
+        interpret=interpret,
+    )(scalars, b_q, xd_q, w3, wd, a3, b3, ad, bd)
+    return out
+
+
 def proj_coeffs(c3: Dict[str, Array], down: Dict[str, Array],
                 next_grid: Tuple[Array, ...]) -> Dict[str, Array]:
     """Folded coefficients for qproj (qops.epilogue_coeffs both branches).

@@ -30,31 +30,38 @@ from typing import Optional, Sequence
 import jax
 import numpy as np
 
-# Async-collective + latency-hiding scheduler flags (TPU).  XLA enables
+# Async-collective + latency-hiding scheduler flags (TPU).  These are
+# **libtpu init args**, NOT XLA_FLAGS: measured on this stack (libtpu
+# 0.0.34 via axon, 2026-08-18), putting any --xla_tpu_* flag in XLA_FLAGS
+# makes the client-side flag parser abort the process
+# ("F parse_flags_from_env.cc: Unknown flags in XLA_FLAGS"), so they must
+# ride LIBTPU_INIT_ARGS, which the TPU runtime parses itself.  XLA enables
 # async collectives by default on TPU; these make the overlap policy
-# explicit and extend it to all collective types used by the TP/DP
-# shardings in qtpu.parallel.mesh.  Verified accepted by libtpu 0.0.34.
-OVERLAP_XLA_FLAGS = (
+# explicit for the TP/DP shardings in qtpu.parallel.mesh.
+OVERLAP_LIBTPU_FLAGS = (
     "--xla_tpu_enable_async_collective_fusion=true",
     "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=true",
     "--xla_tpu_enable_async_collective_fusion_multiple_steps=true",
     "--xla_tpu_overlap_compute_collective_tc=true",
-    "--xla_enable_async_all_gather=true",
-    "--xla_enable_async_collective_permute=true",
 )
+
+# Backwards-compat alias (round-1 name); same tuple, see note above.
+OVERLAP_XLA_FLAGS = OVERLAP_LIBTPU_FLAGS
 
 
 def enable_overlap_flags() -> None:
-    """Append the overlap flags to XLA_FLAGS (idempotent).
+    """Append the overlap flags to LIBTPU_INIT_ARGS (idempotent).
 
     Call before jax initializes a backend (i.e. before the first
     computation), typically at serve-CLI entry.  No-op for flags already
-    present so repeated calls / user overrides are safe.
+    present so repeated calls / user overrides are safe.  Round-1 put these
+    in XLA_FLAGS, which fatally aborts the process on this libtpu (see the
+    OVERLAP_LIBTPU_FLAGS note) — they belong in LIBTPU_INIT_ARGS.
     """
-    flags = os.environ.get("XLA_FLAGS", "")
-    add = [f for f in OVERLAP_XLA_FLAGS if f.split("=")[0] not in flags]
+    flags = os.environ.get("LIBTPU_INIT_ARGS", "")
+    add = [f for f in OVERLAP_LIBTPU_FLAGS if f.split("=")[0] not in flags]
     if add:
-        os.environ["XLA_FLAGS"] = (flags + " " + " ".join(add)).strip()
+        os.environ["LIBTPU_INIT_ARGS"] = (flags + " " + " ".join(add)).strip()
 
 
 _initialized = False

@@ -80,23 +80,31 @@ def serve_variable_specs(serve_vars: Dict[str, Any]) -> Dict[str, Any]:
     return specs
 
 
-def shard_variables(serve_vars: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """device_put the serving variables with TP shardings over the mesh.
+def serve_shardings(serve_vars: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """NamedSharding pytree for the serving variables over ``mesh``.
 
     Kernels whose output-channel axis does not divide by the 'model' axis size
     fall back to replication (first conv stems with few channels etc.).
+    Shared by :func:`shard_variables` (placement) and the AOT overlap-evidence
+    tool (qtpu.bench.overlap), which compiles against an abstract topology.
     """
     specs = serve_variable_specs(serve_vars)
     tp = mesh.shape[MODEL_AXIS]
 
-    def place(leaf, spec):
+    def resolve(leaf, spec):
         if any(ax == MODEL_AXIS for ax in spec):
             dim = [i for i, ax in enumerate(spec) if ax == MODEL_AXIS][0]
             if leaf.shape[dim] % tp:
                 spec = P()
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return NamedSharding(mesh, spec)
 
-    return jax.tree.map(place, serve_vars, specs)
+    return jax.tree.map(resolve, serve_vars, specs)
+
+
+def shard_variables(serve_vars: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """device_put the serving variables with TP shardings over the mesh."""
+    return jax.tree.map(jax.device_put, serve_vars,
+                        serve_shardings(serve_vars, mesh))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -32,7 +32,7 @@ from qtpu.bench.profile import annotate
 from qtpu.nn.layers import BN_EPS
 from qtpu.ops import qops
 from qtpu.ops.pallas.qblock import block_coeffs, qbottleneck_fused
-from qtpu.ops.pallas.qproj import proj_coeffs, qproj_fused
+from qtpu.ops.pallas.qproj import proj_coeffs, qproj2d_fused
 from qtpu.ops.pallas.qtail import qtail_fused, tail_coeffs
 from qtpu.ops.pallas.qmatmul_dual import qmatmul_dual
 from qtpu.serve.fused_ops import (Grid, best_tile as _best_tile,
@@ -265,8 +265,17 @@ class ResNetInt8Engine:
                next_grid: Grid) -> Array:
         c3, down = self._node(name, "conv3"), self._node(name, "down")
         prep = self._qproj_prep[name]
-        return qproj_fused(b, x_d, **proj_coeffs(c3, down, next_grid),
-                           interpret=self.qtail_interpret, **prep)
+        B, H, W, cmid = b.shape
+        m = B * H * W
+        # 2-D form: the NHWC→(M, C) reshapes are free byte-identities in
+        # XLA, and the kernel then has zero vector-layout casts (see
+        # qproj2d_fused docstring).
+        out = qproj2d_fused(
+            b.reshape(m, cmid), x_d.reshape(m, x_d.shape[-1]),
+            w3=prep["w3"], wd=prep["wd"],
+            **proj_coeffs(c3, down, next_grid),
+            interpret=self.qtail_interpret)
+        return out.reshape(B, H, W, out.shape[-1])
 
     def _qtail(self, x_q: Array, x_grid: Grid, name: str,
                next_grid: Grid) -> Array:

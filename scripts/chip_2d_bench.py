@@ -1,0 +1,136 @@
+"""On-chip: zero-cast 2D Pallas forms vs XLA, per ResNet-50 stage shape.
+
+The 3-D block kernels (qblock/qtail/qproj) all lose 2-5× to XLA because
+their (bb, H, W·C) ↔ (rows, C) vector casts are materialized relayouts.
+The 2-D forms move the reshape to XLA (free byte-identity for lane-aligned
+C) so the kernels run entirely in native layouts:
+
+  proj : qproj2d_fused (conv3 + downsample dual GEMM + requant)
+  ident: full identity block, conv2 on XLA, conv3+int8-residual+requant as
+         qmatmul_fused (2-D, folded epilogue); variants also put conv1 on
+         the Pallas GEMM.
+
+All variants asserted bit-identical to the XLA reference before timing.
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from qtpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qtpu.bench.timing import time_scan_fit
+from qtpu.ops.pallas.qproj import proj_coeffs, qproj2d_fused
+from qtpu.serve.fused_ops import conv_xla, gemm_1x1, grid_of
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+KEY = jax.random.PRNGKey(5)
+
+
+def _node(key, kh, kw, ci, co, *, zp, scale):
+    k1, k2, k3 = jax.random.split(key, 3)
+    w_q = jax.random.randint(k1, (kh, kw, ci, co), -127, 128, jnp.int8)
+    return {
+        "kernel_q": w_q,
+        "w_scale": jax.random.uniform(k2, (co,), jnp.float32, 0.002, 0.02),
+        "colsum": jnp.sum(w_q.astype(jnp.int32), axis=(0, 1, 2)),
+        "bias": jax.random.normal(k3, (co,), jnp.float32) * 0.1,
+        "act_scale": jnp.float32(scale),
+        "act_zp": jnp.int32(zp),
+    }
+
+
+def timeit(name, fn, carry):
+    t = time_scan_fit(fn, carry, n_short=6, n_long=20)
+    print(f"{name}: {t*1e6:8.1f} us", flush=True)
+    return t
+
+
+def check(name, a, b):
+    m = np.sum(np.asarray(a) != np.asarray(b))
+    print(f"{name} bit-exact: {m == 0}" + ("" if m == 0 else f" ({m} diffs)"),
+          flush=True)
+
+
+def bench_proj(tag, H, cmid, cin, cout):
+    ks = jax.random.split(jax.random.fold_in(KEY, hash(tag) % 997), 4)
+    c3 = _node(ks[0], 1, 1, cmid, cout, zp=9, scale=0.017)
+    dn = _node(ks[1], 1, 1, cin, cout, zp=-4, scale=0.023)
+    ng = (jnp.float32(0.019), jnp.int32(-3))
+    b = jax.random.randint(ks[2], (B, H, H, cmid), -128, 128, jnp.int8)
+    xd = jax.random.randint(ks[3], (B, H, H, cin), -128, 128, jnp.int8)
+    co = proj_coeffs(c3, dn, ng)
+    w3 = c3["kernel_q"].reshape(cmid, cout)
+    wd = dn["kernel_q"].reshape(cin, cout)
+
+    @jax.jit
+    def xla_fn(b, xd):
+        res = gemm_1x1(xd, dn, relu=False, requant=None,
+                       out_dtype=jnp.float32, use_pallas=False)
+        return gemm_1x1(b, c3, relu=True, requant=ng, out_dtype=jnp.int8,
+                        residual=res, res_grid=None, use_pallas=False)
+
+    @jax.jit
+    def p2d_fn(b, xd):
+        bsz = b.shape[0]
+        m = bsz * H * H
+        out = qproj2d_fused(b.reshape(m, cmid), xd.reshape(m, cin),
+                            w3=w3, wd=wd, **co)
+        return out.reshape(bsz, H, H, cout)
+
+    check(f"proj {tag}", xla_fn(b[:8], xd[:8]), p2d_fn(b[:8], xd[:8]))
+    timeit(f"proj {tag} xla ", lambda c: c ^ xla_fn(c, xd)[:, :, :, :cmid], b)
+    timeit(f"proj {tag} p2d ", lambda c: c ^ p2d_fn(c, xd)[:, :, :, :cmid], b)
+
+
+def bench_ident(tag, H, cin, cmid):
+    ks = jax.random.split(jax.random.fold_in(KEY, hash(tag) % 991), 4)
+    c1 = _node(ks[0], 1, 1, cin, cmid, zp=5, scale=0.021)
+    c2 = _node(ks[1], 3, 3, cmid, cmid, zp=-17, scale=0.013)
+    c3 = _node(ks[2], 1, 1, cmid, cin, zp=9, scale=0.017)
+    ng = (jnp.float32(0.019), jnp.int32(-3))
+    xg = (jnp.float32(0.021), jnp.int32(5))
+    x = jax.random.randint(ks[3], (B, H, H, cin), -128, 128, jnp.int8)
+
+    def block(x, p1, p3):
+        a = gemm_1x1(x, c1, relu=True, requant=grid_of(c2),
+                     out_dtype=jnp.int8, use_pallas=p1)
+        bq = conv_xla(a, c2, strides=(1, 1), relu=True, requant=grid_of(c3))
+        return gemm_1x1(bq, c3, relu=True, requant=ng, out_dtype=jnp.int8,
+                        residual=x, res_grid=xg, use_pallas=p3)
+
+    fns = {"xxx": jax.jit(lambda x: block(x, False, False)),
+           "xxp": jax.jit(lambda x: block(x, False, True)),
+           "pxp": jax.jit(lambda x: block(x, True, True))}
+    ref = fns["xxx"](x[:8])
+    for k in ("xxp", "pxp"):
+        check(f"ident {tag} {k}", ref, fns[k](x[:8]))
+    for k, fn in fns.items():
+        timeit(f"ident {tag} {k}", lambda c, fn=fn: c ^ fn(c), x)
+
+
+def main() -> int:
+    # ident variants measured 2026-08-18: ALL lose to XLA's cross-fused
+    # pair (xxp: 1077 vs 622 us on l2; 1926 vs 695 on l1; 647 vs 349 on l3;
+    # 253 vs 233 on l4) — splitting conv3 out re-pays the b round trip and
+    # the 2-D GEMM does not beat the fused XLA pair.  Run with "ident" arg
+    # to reproduce; default benches the projection forms only.
+    if len(sys.argv) > 2 and sys.argv[2] == "ident":
+        bench_ident("l2(28,512,128) ", 28, 512, 128)
+        bench_ident("l1(56,256,64)  ", 56, 256, 64)
+        bench_ident("l3(14,1024,256)", 14, 1024, 256)
+        bench_ident("l4(7,2048,512) ", 7, 2048, 512)
+    bench_proj("l1_0(56,64,64,256)  ", 56, 64, 64, 256)
+    bench_proj("l2_0(28,128,256,512)", 28, 128, 256, 512)
+    bench_proj("l3_0(14,256,512,1024)", 14, 256, 512, 1024)
+    bench_proj("l4_0(7,512,1024,2048)", 7, 512, 1024, 2048)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -45,10 +45,15 @@ def test_two_process_serving():
 
 
 def test_overlap_flags_idempotent(monkeypatch):
+    # flags ride LIBTPU_INIT_ARGS: --xla_tpu_* inside XLA_FLAGS fatally
+    # aborts the client flag parser on this libtpu (distributed.py note)
+    monkeypatch.setenv("LIBTPU_INIT_ARGS", "--some_user_flag=1")
     monkeypatch.setenv("XLA_FLAGS", "--xla_foo=1")
     enable_overlap_flags()
-    first = os.environ["XLA_FLAGS"]
+    first = os.environ["LIBTPU_INIT_ARGS"]
     assert all(f.split("=")[0] in first for f in OVERLAP_XLA_FLAGS)
+    assert all(f.split("=")[0] not in os.environ["XLA_FLAGS"]
+               for f in OVERLAP_XLA_FLAGS)
     enable_overlap_flags()
-    assert os.environ["XLA_FLAGS"] == first      # no duplication
-    assert "--xla_foo=1" in first                # user flags preserved
+    assert os.environ["LIBTPU_INIT_ARGS"] == first      # no duplication
+    assert "--some_user_flag=1" in first                # user flags preserved

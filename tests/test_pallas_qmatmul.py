@@ -27,16 +27,28 @@ def _setup(M=256, K=512, N=256):
     return xq, wq, ws, cs, b
 
 
+
+def _folded_ref(xq, wq, residual=None, out_dtype=jnp.float32, **kw):
+    """Oracle = the folded epilogue (qops.epilogue_coeffs) applied to the
+    XLA int32 accumulator — the same single-source formula the kernel and
+    qtpu.serve.fused_ops use (jitted: whole-program fp32 contraction
+    choices match compiled code)."""
+    @jax.jit
+    def f(xq, wq, residual):
+        acc = qops.qmatmul(xq, wq)
+        co, mode = qops.epilogue_coeffs(**kw)
+        return qops.apply_epilogue(acc, co, mode, residual=residual,
+                                   out_dtype=out_dtype)
+    return f(xq, wq, residual)
+
 @pytest.mark.parametrize("zp", [0, 5, -7])
 def test_exact_vs_oracle(zp):
     xq, wq, ws, cs, b = _setup()
     y = qmatmul_fused(xq, wq, act_scale=jnp.float32(0.02),
                       act_zp=jnp.int32(zp), w_scale=ws, colsum=cs, bias=b,
                       bm=128, bn=128, bk=256, interpret=INTERPRET)
-    acc = qops.qmatmul(xq, wq)
-    ref = qops.dequant_epilogue(acc, act_scale=jnp.float32(0.02),
-                                act_zp=jnp.int32(zp), w_scale=ws, colsum=cs,
-                                bias=b)
+    ref = _folded_ref(xq, wq, act_scale=jnp.float32(0.02),
+                      act_zp=jnp.int32(zp), w_scale=ws, colsum=cs, bias=b)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
 
 
@@ -46,11 +58,10 @@ def test_requant_path_exact():
                        act_zp=jnp.int32(5), w_scale=ws, colsum=cs, bias=b,
                        requant_scale=jnp.float32(0.05), out_dtype=jnp.int8,
                        bm=128, bn=128, bk=256, interpret=INTERPRET)
-    acc = qops.qmatmul(xq, wq)
-    ref = qops.dequant_epilogue(acc, act_scale=jnp.float32(0.02),
-                                act_zp=jnp.int32(5), w_scale=ws, colsum=cs,
-                                bias=b)
-    ref8 = jnp.clip(jnp.round(ref / 0.05), -127, 127).astype(jnp.int8)
+    ref8 = _folded_ref(xq, wq, out_dtype=jnp.int8,
+                       act_scale=jnp.float32(0.02), act_zp=jnp.int32(5),
+                       w_scale=ws, colsum=cs, bias=b,
+                       requant_scale=jnp.float32(0.05))
     assert y8.dtype == jnp.int8
     np.testing.assert_array_equal(np.asarray(y8), np.asarray(ref8))
 
@@ -61,10 +72,8 @@ def test_multi_k_step_accumulation():
     y = qmatmul_fused(xq, wq, act_scale=jnp.float32(0.01),
                       act_zp=jnp.int32(3), w_scale=ws, colsum=cs, bias=b,
                       bm=128, bn=128, bk=256, interpret=INTERPRET)
-    acc = qops.qmatmul(xq, wq)
-    ref = qops.dequant_epilogue(acc, act_scale=jnp.float32(0.01),
-                                act_zp=jnp.int32(3), w_scale=ws, colsum=cs,
-                                bias=b)
+    ref = _folded_ref(xq, wq, act_scale=jnp.float32(0.01),
+                      act_zp=jnp.int32(3), w_scale=ws, colsum=cs, bias=b)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
 
 

@@ -82,3 +82,37 @@ def test_engine_qproj_parity():
     assert "layer1_0" in eng_p._qproj_prep
     np.testing.assert_array_equal(np.asarray(eng_ref.forward(x)),
                                   np.asarray(eng_p.forward(x)))
+
+
+@pytest.mark.parametrize("B,H,cmid,cin,cout", [
+    (2, 8, 64, 64, 256),
+    (2, 6, 128, 256, 512),
+])
+def test_qproj2d_bit_identical_to_sequence(B, H, cmid, cin, cout):
+    from qtpu.ops.pallas.qproj import qproj2d_fused
+
+    W = H
+    ks = jax.random.split(jax.random.fold_in(KEY, 2), 6)
+    c3 = _node(ks[0], cmid, cout, zp=9, scale=0.017)
+    down = _node(ks[1], cin, cout, zp=-4, scale=0.023)
+    next_grid = (jnp.float32(0.019), jnp.int32(-3))
+    b = jax.random.randint(ks[2], (B, H, W, cmid), -128, 128, jnp.int8)
+    xd = jax.random.randint(ks[3], (B, H, W, cin), -128, 128, jnp.int8)
+
+    @jax.jit
+    def ref_fn(b, xd):
+        res = gemm_1x1(xd, down, relu=False, requant=None,
+                       out_dtype=jnp.float32, use_pallas=False)
+        return gemm_1x1(b, c3, relu=True, requant=next_grid,
+                        out_dtype=jnp.int8, residual=res, res_grid=None,
+                        use_pallas=False)
+    ref = np.asarray(ref_fn(b, xd)).reshape(-1, cout)
+
+    m = B * H * W
+    out = qproj2d_fused(b.reshape(m, cmid), xd.reshape(m, cin),
+                        w3=c3["kernel_q"].reshape(cmid, cout),
+                        wd=down["kernel_q"].reshape(cin, cout),
+                        **proj_coeffs(c3, down, next_grid),
+                        bm=m // 2, interpret=True)
+    mismatch = np.sum(ref != np.asarray(out))
+    assert mismatch == 0, f"{mismatch}/{ref.size} codes differ"

@@ -128,3 +128,39 @@ def test_serving_engine_with_flat_engine_forward(frozen_lenet):
         assert calls  # custom forward traced
     finally:
         eng.stop()
+
+
+def test_collective_report_parses_async_pairs():
+    """overlap.collective_report: counts collectives + start/done overlap."""
+    from qtpu.bench.overlap import collective_report
+
+    hlo = "\n".join([
+        "%ag-start = bf16[8]{0} all-gather-start(%p0), dimensions={0}",
+        '%f = bf16[8]{0} fusion(%x), kind=kOutput, calls=%c',
+        "%conv = bf16[8]{0} convolution(%f, %w)",
+        "%ag-done = bf16[8]{0} all-gather-done(%ag-start)",
+        "%ar = bf16[8]{0} all-reduce(%conv), to_apply=%add",
+    ])
+    rep = collective_report(hlo)
+    assert rep["collectives"] == {"all-reduce": 1}
+    assert rep["async_pairs"] == 1
+    assert rep["async_pairs_with_compute_between"] == 1
+
+
+def test_virtual_mesh_tp_serve_emits_collectives(frozen_lenet):
+    """The TP-sharded serve forward compiles with GSPMD collectives on the
+    8-device mesh (the CPU analog of qtpu.bench.overlap's TPU AOT check)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qtpu.parallel.mesh import serve_shardings
+
+    sm, sv, x = frozen_lenet
+    mesh = make_mesh(dp=1, tp=8)
+    shardings = serve_shardings(sv, mesh)
+    sv_shaped = jax.tree.map(
+        lambda leaf, s: jax.ShapeDtypeStruct(leaf.shape, leaf.dtype,
+                                             sharding=s), sv, shardings)
+    x_shaped = jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                    sharding=NamedSharding(mesh, P()))
+    hlo = jax.jit(sm.apply).lower(sv_shaped, x_shaped).compile().as_text()
+    assert "all-gather" in hlo or "all-reduce" in hlo

@@ -26,7 +26,13 @@ def test_exact_vs_oracle(strides, k, ci):
     y = qconv2d_im2col(xq, wq, strides=strides, act_scale=jnp.float32(0.02),
                        act_zp=zp, w_scale=ws, colsum=cs, bias=b,
                        interpret=INTERPRET)
-    acc = qops.qconv2d(xq, wq, strides=strides, zp=zp)
-    ref = qops.dequant_epilogue(acc, act_scale=jnp.float32(0.02), act_zp=zp,
-                                w_scale=ws, colsum=cs, bias=b)
-    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+    # folded oracle (qim2col delegates to qmatmul_fused, whose epilogue is
+    # the folded qops.epilogue_coeffs formula since round 2)
+    @jax.jit
+    def ref_fn(xq, wq):
+        acc = qops.qconv2d(xq, wq, strides=strides, zp=zp)
+        co, mode = qops.epilogue_coeffs(
+            act_scale=jnp.float32(0.02), act_zp=zp, w_scale=ws, colsum=cs,
+            bias=b)
+        return qops.apply_epilogue(acc, co, mode)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref_fn(xq, wq)))
