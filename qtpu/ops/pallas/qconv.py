@@ -34,12 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
+def _kernel(scal_ref, x_ref, w_ref, a_ref, b_ref,
             out_ref, *, KH: int, KW: int, OH: int, OW: int, Ci: int,
-            requant: bool, requant_affine: bool, relu: bool,
-            act_max: bool):
+            requant: bool, shift: float, relu: bool,
+            act_max: bool, raw_acc: bool = False):
     bb = x_ref.shape[0]
-    acc = jnp.zeros((bb * OH * OW, ws_ref.shape[1]), jnp.int32)
+    acc = jnp.zeros((bb * OH * OW, a_ref.shape[1]), jnp.int32)
     for kh in range(KH):
         for kw in range(KW):
             window = x_ref[:, kh:kh + OH, kw * Ci:(kw + OW) * Ci]
@@ -47,33 +47,34 @@ def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
             acc = acc + jax.lax.dot_general(
                 lhs, w_ref[kh * KW + kw], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-    act_scale = scal_ref[0, 0]
-    zp = zp_ref[0, 0]
-    corrected = acc - zp * cs_ref[:]
-    y = corrected.astype(jnp.float32) * (act_scale * ws_ref[:]) + b_ref[:]
-    if relu:
-        y = jnp.maximum(y, 0.0)
-    if act_max:
-        y = jnp.minimum(y, scal_ref[0, 3])       # relu6-style upper clip
+    co = a_ref.shape[1]
+    if raw_acc:
+        # phase-split strided convs (qconv_dispatch) sum several phases'
+        # accumulators before ONE shared epilogue — emit the int32 acc.
+        out_ref[:] = acc.reshape(bb, OH, OW * co)
+        return
+    # folded epilogue (qops.epilogue_coeffs — single source of truth,
+    # bit-identical to the XLA path in qtpu.serve.fused_ops)
+    t = acc.astype(jnp.float32) * a_ref[:] + b_ref[:]
     if requant:
-        # affine/symmetric requant; see qmatmul epilogue comment
-        if requant_affine:
-            q = jnp.round(y / scal_ref[0, 1] + scal_ref[0, 2])
-            y = jnp.clip(q, 0.0, 255.0) - 128.0
-        else:
-            y = jnp.clip(jnp.round(y / scal_ref[0, 1]), -127.0, 127.0)
-    co = ws_ref.shape[1]
-    out_ref[:] = y.reshape(bb, OH, OW * co).astype(out_ref.dtype)
+        t = jnp.clip(jnp.round(t), scal_ref[0, 0], scal_ref[0, 1]) - shift
+    else:
+        if relu:
+            t = jnp.maximum(t, 0.0)
+        if act_max:
+            t = jnp.minimum(t, scal_ref[0, 1])
+    out_ref[:] = t.reshape(bb, OH, OW * co).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bb", "out_dtype", "interpret", "relu", "act_max"))
+@functools.partial(jax.jit, static_argnames=("bb", "out_dtype", "interpret", "relu", "act_max", "raw_acc"))
 def qconv2d_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
                   w_scale: Array, colsum: Array, bias: Optional[Array] = None,
                   requant_scale: Optional[Array] = None,
                   requant_zp: Optional[Array] = None, bb: int = 4,
                   out_dtype=jnp.float32, interpret: bool = False,
                   relu: bool = False,
-                  act_max: Optional[float] = None) -> Array:
+                  act_max: Optional[float] = None,
+                  raw_acc: bool = False) -> Array:
     """Stride-1 VALID int8 conv: (B,Hp,Wp,Ci) × (KH,KW,Ci,Co) → (B,OH,OW,Co).
 
     For SAME semantics, zero-point-pad first via :func:`pad_for_conv`.
@@ -86,43 +87,35 @@ def qconv2d_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
     OH, OW = Hp - KH + 1, Wp - KW + 1
     bb = min(bb, B)
     assert B % bb == 0, (B, bb)
-    if bias is None:
-        bias = jnp.zeros((Co,), jnp.float32)
-    requant = requant_scale is not None
-    rq_scale = (jnp.maximum(jnp.asarray(requant_scale, jnp.float32), 1e-12)
-                if requant else jnp.ones((), jnp.float32))
-    if requant_zp is None:   # symmetric requant grid (zp slot unused)
-        rzp = jnp.float32(0.0)
-        rlo = jnp.float32(0.0)
-    else:                    # affine: zp is the signed-grid int zero point
-        rzp = jnp.asarray(requant_zp, jnp.float32) + 128.0
-        rlo = jnp.float32(0.0)
-    if act_max is not None:
-        rlo = jnp.float32(act_max)   # slot 3 reused for the upper clip
-    scal = jnp.stack([jnp.asarray(act_scale, jnp.float32).reshape(()),
-                      rq_scale.reshape(()), rzp.reshape(()),
-                      rlo.reshape(())]).reshape(1, 4)
-    zp = jnp.asarray(act_zp, jnp.int32).reshape(1, 1)
-    ws = jnp.asarray(w_scale, jnp.float32).reshape(1, Co)
-    cs = jnp.asarray(colsum, jnp.int32).reshape(1, Co)
-    b = jnp.asarray(bias, jnp.float32).reshape(1, Co)
+    # fold the epilogue ONCE (shared helper => bit-identical to the XLA path)
+    from qtpu.ops import qops
+    co, mode = qops.epilogue_coeffs(
+        act_scale=act_scale, act_zp=act_zp, w_scale=w_scale, colsum=colsum,
+        bias=bias, requant_scale=requant_scale, requant_zp=requant_zp,
+        relu=relu, act_max=act_max)
+    hi = (co.hi if mode.requant
+          else jnp.float32(act_max if act_max is not None else 0.0))
+    scal = jnp.stack([jnp.asarray(co.lo, jnp.float32).reshape(()),
+                      jnp.asarray(hi, jnp.float32).reshape(())]).reshape(1, 2)
+    a_row = co.A.reshape(1, Co)
+    b_row = co.B.reshape(1, Co)
     x3 = x_q.reshape(B, Hp, Wp * Ci)
     w_r = w_q.reshape(KH * KW, Ci, Co)
 
     grid = (B // bb,)
     kern = functools.partial(_kernel, KH=KH, KW=KW, OH=OH, OW=OW, Ci=Ci,
-                             requant=requant,
-                             requant_affine=requant_zp is not None, relu=relu,
-                             act_max=act_max is not None)
+                             requant=mode.requant, shift=mode.shift,
+                             relu=relu,
+                             act_max=act_max is not None, raw_acc=raw_acc)
+    if raw_acc:
+        out_dtype = jnp.int32
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((bb, Hp, Wp * Ci), lambda i: (i, 0, 0)),
             pl.BlockSpec((KH * KW, Ci, Co), lambda i: (0, 0, 0)),
-            pl.BlockSpec((1, Co), lambda i: (0, 0)),
             pl.BlockSpec((1, Co), lambda i: (0, 0)),
             pl.BlockSpec((1, Co), lambda i: (0, 0)),
         ],
@@ -137,7 +130,7 @@ def qconv2d_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
             + B * OH * OW * Co,
             transcendentals=0),
         interpret=interpret,
-    )(scal, zp, x3, w_r, ws, cs, b)
+    )(scal, x3, w_r, a_row, b_row)
     return out.reshape(B, OH, OW, Co)
 
 

@@ -25,9 +25,9 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
+def _kernel(scal_ref, x_ref, w_ref, a_ref, b_ref,
             out_ref, *, KH: int, KW: int, OH: int, OW: int, C: int,
-            requant: bool, requant_affine: bool, relu: bool,
+            requant: bool, shift: float, relu: bool,
             act_max: bool):
     bb = x_ref.shape[0]
     acc = jnp.zeros((bb, OH, OW * C), jnp.int32)
@@ -35,21 +35,17 @@ def _kernel(scal_ref, zp_ref, x_ref, w_ref, ws_ref, cs_ref, b_ref,
         for kw in range(KW):
             win = x_ref[:, kh:kh + OH, kw * C:(kw + OW) * C]
             acc = acc + win.astype(jnp.int32) * w_ref[kh * KW + kw]
-    act_scale = scal_ref[0, 0]
-    zp = zp_ref[0, 0]
-    corrected = acc - zp * cs_ref[:]
-    y = corrected.astype(jnp.float32) * (act_scale * ws_ref[:]) + b_ref[:]
-    if relu:
-        y = jnp.maximum(y, 0.0)
-    if act_max:
-        y = jnp.minimum(y, scal_ref[0, 3])       # relu6-style upper clip
+    # folded epilogue (qops.epilogue_coeffs — single source of truth,
+    # bit-identical to the XLA path in qtpu.serve.fused_ops)
+    t = acc.astype(jnp.float32) * a_ref[:] + b_ref[:]
     if requant:
-        if requant_affine:
-            q = jnp.round(y / scal_ref[0, 1] + scal_ref[0, 2])
-            y = jnp.clip(q, 0.0, 255.0) - 128.0
-        else:
-            y = jnp.clip(jnp.round(y / scal_ref[0, 1]), -127.0, 127.0)
-    out_ref[:] = y.astype(out_ref.dtype)
+        t = jnp.clip(jnp.round(t), scal_ref[0, 0], scal_ref[0, 1]) - shift
+    else:
+        if relu:
+            t = jnp.maximum(t, 0.0)
+        if act_max:
+            t = jnp.minimum(t, scal_ref[0, 1])
+    out_ref[:] = t.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("bb", "out_dtype", "interpret",
@@ -73,44 +69,35 @@ def qdepthwise_fused(x_q: Array, w_q: Array, *, act_scale: Array,
     OH, OW = Hp - KH + 1, Wp - KW + 1
     bb = min(bb, B)
     assert B % bb == 0, (B, bb)
-    if bias is None:
-        bias = jnp.zeros((C,), jnp.float32)
-    requant = requant_scale is not None
-    rq_scale = (jnp.maximum(jnp.asarray(requant_scale, jnp.float32), 1e-12)
-                if requant else jnp.ones((), jnp.float32))
-    if requant_zp is None:   # symmetric requant grid (zp slot unused)
-        rzp, rlo = jnp.float32(0.0), jnp.float32(0.0)
-    else:
-        rzp = jnp.asarray(requant_zp, jnp.float32) + 128.0
-        rlo = jnp.float32(0.0)
-    if act_max is not None:
-        rlo = jnp.float32(act_max)   # slot 3 reused for the upper clip
-    scal = jnp.stack([jnp.asarray(act_scale, jnp.float32).reshape(()),
-                      rq_scale.reshape(()), rzp.reshape(()),
-                      rlo.reshape(())]).reshape(1, 4)
-    zp = jnp.asarray(act_zp, jnp.int32).reshape(1, 1)
-    # per-channel vectors tiled along the OW·C lane layout
+    # fold the epilogue ONCE (shared helper => bit-identical to the XLA
+    # path), then tile the per-channel rows along the OW·C lane layout
+    from qtpu.ops import qops
+    co, mode = qops.epilogue_coeffs(
+        act_scale=act_scale, act_zp=act_zp, w_scale=w_scale, colsum=colsum,
+        bias=bias, requant_scale=requant_scale, requant_zp=requant_zp,
+        relu=relu, act_max=act_max)
+    hi = (co.hi if mode.requant
+          else jnp.float32(act_max if act_max is not None else 0.0))
+    scal = jnp.stack([jnp.asarray(co.lo, jnp.float32).reshape(()),
+                      jnp.asarray(hi, jnp.float32).reshape(())]).reshape(1, 2)
     tile = lambda v: jnp.tile(jnp.asarray(v).reshape(1, C), (1, OW))
-    ws = tile(jnp.asarray(w_scale, jnp.float32))
-    cs = tile(jnp.asarray(colsum, jnp.int32))
-    b = tile(jnp.asarray(bias, jnp.float32))
+    a_row = tile(co.A)
+    b_row = tile(co.B)
     # weights as (KH*KW, OW·C) int32 rows, ready to broadcast-multiply
     w_t = jnp.tile(w_q.reshape(KH * KW, C).astype(jnp.int32), (1, OW))
     x3 = x_q.reshape(B, Hp, Wp * C)
 
     kern = functools.partial(_kernel, KH=KH, KW=KW, OH=OH, OW=OW, C=C,
-                             requant=requant,
-                             requant_affine=requant_zp is not None, relu=relu,
+                             requant=mode.requant, shift=mode.shift,
+                             relu=relu,
                              act_max=act_max is not None)
     out = pl.pallas_call(
         kern,
         grid=(B // bb,),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((bb, Hp, Wp * C), lambda i: (i, 0, 0)),
             pl.BlockSpec((KH * KW, OW * C), lambda i: (0, 0)),
-            pl.BlockSpec((1, OW * C), lambda i: (0, 0)),
             pl.BlockSpec((1, OW * C), lambda i: (0, 0)),
             pl.BlockSpec((1, OW * C), lambda i: (0, 0)),
         ],
@@ -124,5 +111,5 @@ def qdepthwise_fused(x_q: Array, w_q: Array, *, act_scale: Array,
             bytes_accessed=B * Hp * Wp * C + B * OH * OW * C,
             transcendentals=0),
         interpret=interpret,
-    )(scal, zp, x3, w_t, ws, cs, b)
+    )(scal, x3, w_t, a_row, b_row)
     return out.reshape(B, OH, OW, C)

@@ -143,10 +143,11 @@ def _kernel2d(scal_ref, b_ref, xd_ref, w3_ref, wd_ref,
     out_ref[:] = (jnp.clip(jnp.round(t), lo, 255.0) - 128.0).astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bm", "interpret", "vmem_mb"))
 def qproj2d_fused(b_q: Array, xd_q: Array, *, w3: Array, wd: Array,
                   scalars: Array, a3: Array, b3: Array, ad: Array, bd: Array,
-                  bm: int = 0, interpret: bool = False) -> Array:
+                  bm: int = 0, interpret: bool = False,
+                  vmem_mb: int = 48) -> Array:
     """2-D form of :func:`qproj_fused`: (M, C) operands, zero layout casts.
 
     The 3-D block form pays Mosaic vector relayouts for its
@@ -189,7 +190,12 @@ def qproj2d_fused(b_q: Array, xd_q: Array, *, w3: Array, wd: Array,
         out_shape=jax.ShapeDtypeStruct((M, Cout), jnp.int8),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # a tight cap, NOT the blanket 100MB the other kernels use: the
+            # vmem limit is a scoped reservation the XLA scheduler honors
+            # around the custom call — round-2 traces showed neighboring
+            # fusions losing their S(1) VMEM residency (stem +319us,
+            # layer1_1 +411us/step) when kernels claim 100MB.
+            vmem_limit_bytes=vmem_mb * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * Cout * (Cmid + Cin),
             bytes_accessed=M * (Cmid + Cin + Cout)

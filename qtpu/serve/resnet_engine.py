@@ -23,7 +23,7 @@ SERVE path is asserted in tests).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,6 @@ from qtpu.ops import qops
 from qtpu.ops.pallas.qblock import block_coeffs, qbottleneck_fused
 from qtpu.ops.pallas.qproj import proj_coeffs, qproj2d_fused
 from qtpu.ops.pallas.qtail import qtail_fused, tail_coeffs
-from qtpu.ops.pallas.qmatmul_dual import qmatmul_dual
 from qtpu.serve.fused_ops import (Grid, best_tile as _best_tile,
                                   conv_xla as _fused_conv,
                                   dequant as _fused_dequant,
@@ -72,10 +71,10 @@ class ResNetInt8Engine:
                  use_pallas: bool = False, min_ci_pallas: int = 64,
                  use_qblock: Optional[bool] = None,
                  qblock_interpret: bool = False,
-                 use_dual: bool = False,
                  use_qtail: Optional[bool] = None,
                  qtail_interpret: bool = False,
-                 use_qproj: Optional[bool] = None):
+                 use_qproj: Optional[bool] = None,
+                 qproj_stages: Optional[Tuple[int, ...]] = None):
         self.qw = variables["qweights"]
         # fp32 params/batch-stats: only consulted for *excluded* layers
         # (config 5 excludes stem*/fc — SURVEY.md §1.2 canonical first/last
@@ -104,19 +103,6 @@ class ResNetInt8Engine:
             use_qblock = False
         self.use_qblock = use_qblock and self.arch.get("bottleneck", True)
         self.qblock_interpret = qblock_interpret
-        # use_dual (opt-in, measured loss): projection blocks end in
-        # conv3(b) + downsample(x) — two 1x1 GEMMs summed.  The XLA path
-        # materializes the downsample output in fp32 HBM (1.4 ms/step of
-        # residual traffic at B=128 across the four ResNet-50 projection
-        # blocks, qtpu.bench.tracing); qmatmul_dual computes both GEMMs +
-        # sum + relu + requant in one Pallas pass so the fp32 intermediate
-        # never exists.  Measured on-chip 2026-08-17 (chip_dual_check, B=128,
-        # same process): 10.84 ms/step vs 9.08 XLA — the untiled-K dual
-        # contraction costs more MXU time than the residual traffic it
-        # saves, and fp32 ulp differences vs XLA's fused epilogue flip
-        # occasional requant codes (argmax agreement still 1.0).  Kept as an
-        # opt-in experiment record; default path stays XLA.
-        self.use_dual = use_dual and jax.devices()[0].platform == "tpu"
         # use_qtail: fuse the identity-bottleneck TAIL (conv2→conv3+residual)
         # into one Pallas kernel (qtpu.ops.pallas.qtail), targeting XLA's
         # 38-55%-of-roofline block fusions.  conv1 stays on the XLA path
@@ -135,12 +121,26 @@ class ResNetInt8Engine:
         if self.use_qtail:
             self._prepare_qtails()
         # use_qproj: fuse the projection-block tail (conv3 + downsample GEMM
-        # + relu + requant) into one Pallas kernel (qtpu.ops.pallas.qproj),
-        # eliminating the downsample branch's f32 HBM round trip (411 MB at
-        # layer1_0/B=128 — the single most expensive block in the round-2
-        # trace).  Defaults to use_qtail's resolution.
-        self.use_qproj = (self.use_qtail if use_qproj is None else
-                          (use_qproj and self.arch.get("bottleneck", True)))
+        # + relu + requant) into one zero-cast 2-D Pallas kernel
+        # (qtpu.ops.pallas.qproj.qproj2d_fused), eliminating the downsample
+        # branch's f32 HBM round trip (411 MB at layer1_0/B=128).  In
+        # ISOLATION the kernel wins 1.8-4.4x per stage, bit-exact
+        # (scripts/chip_2d_bench.py).  Default OFF anyway: in the full
+        # engine even a single custom call is a NET LOSS (same-process A/B
+        # 2026-08-18, scripts/chip_qproj_ab.py, B=128: 8.1-8.3 ms XLA-only
+        # vs 9.4-9.5 ms with just layer1_0's kernel, whose own time is only
+        # 466us) — inserting a custom call breaks XLA-TPU's scoped-VMEM
+        # (S(1)) activation residency around it, and unrelated scopes slow
+        # by far more than the kernel saves (trace: stem +319us, layer1_1
+        # +411us/step).  The e2e fix for the f32 round trip is the
+        # XLA-native interleaved dual GEMM in fused_ops.gemm_dual_xla.
+        if use_qproj is None:
+            use_qproj = False
+        self.use_qproj = use_qproj and self.arch.get("bottleneck", True)
+        # qproj_stages: stage indices (0-based) whose projection block uses
+        # the kernel when use_qproj is set.
+        self.qproj_stages = ((0, 1, 2, 3) if qproj_stages is None
+                             else tuple(qproj_stages))
         self._qproj_prep: Dict[str, Dict[str, Any]] = {}
         if self.use_qproj:
             self._prepare_qprojs()
@@ -238,8 +238,8 @@ class ResNetInt8Engine:
 
     def _prepare_qprojs(self) -> None:
         """Reshape projection-block conv3/down weights once for qproj_fused."""
-        for name, _, j in self._block_names():
-            if j != 0:
+        for name, i, j in self._block_names():
+            if j != 0 or i not in self.qproj_stages:
                 continue
             c3, down = self._node(name, "conv3"), self._node(name, "down")
             if c3 is None or down is None:
@@ -414,8 +414,6 @@ class ResNetInt8Engine:
                     and not _grid_parts(next_grid)[2]
                     and b.shape[2] % self._qproj_prep[name]["pair"] == 0):
                 return self._qproj(b, x_d, name, next_grid)
-            if self.use_dual and next_grid is not None:
-                return self._dual_project(b, c3, x_d, down, next_grid)
             res = self._gemm(x_d, down,
                              relu=False, requant=None, out_dtype=jnp.float32)
             res_grid = None          # f32 residual (4 blocks only)
@@ -428,28 +426,6 @@ class ResNetInt8Engine:
                           out_dtype=jnp.int8 if next_grid is not None
                           else jnp.float32,
                           residual=res, res_grid=res_grid)
-
-    def _dual_project(self, b: Array, c3: Dict[str, Array], x_d: Array,
-                      down: Dict[str, Array], next_grid: Grid) -> Array:
-        """conv3(b) + down(x_d) → relu → requant, one dual-GEMM kernel."""
-        B, H, W, Cmid = b.shape
-        Cin = x_d.shape[-1]
-        w3 = _unpacked_kernel(c3)
-        wd = _unpacked_kernel(down)
-        N = w3.shape[-1]
-        M = B * H * W
-        ns, nz, nsym = _grid_parts(next_grid)
-        y = qmatmul_dual(
-            b.reshape(M, Cmid), w3.reshape(Cmid, N),
-            x_d.reshape(M, Cin), wd.reshape(Cin, N),
-            act_scale1=c3["act_scale"], act_zp1=c3["act_zp"],
-            w_scale1=c3["w_scale"], colsum1=c3["colsum"], bias1=c3["bias"],
-            act_scale2=down["act_scale"], act_zp2=down["act_zp"],
-            w_scale2=down["w_scale"], colsum2=down["colsum"],
-            bias2=down["bias"],
-            requant_scale=ns, requant_zp=None if nsym else nz,
-            relu=True, bm=_best_tile(M), bn=_lane_tile(N))
-        return y.reshape(B, H, W, N)
 
     def _basic(self, x_q: Array, x_grid: Grid, name: str, strides,
                next_grid: Grid) -> Array:

@@ -1,4 +1,9 @@
-"""Pallas fused int8 conv vs the XLA oracle (interpret mode on CPU)."""
+"""Pallas fused int8 conv vs the folded XLA oracle (interpret mode on CPU).
+
+Oracles use qops.epilogue_coeffs/apply_epilogue — the single-source folded
+formula shared by the kernel and the serving fused ops — jitted as one
+program so fp32 FMA-contraction choices match compiled code.
+"""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -22,6 +27,15 @@ def _setup(B=2, H=8, Ci=128, Co=128, k=3):
     return xq, wq, ws, cs, b
 
 
+def _folded_ref(xq, wq, zp, out_dtype=jnp.float32, **kw):
+    @jax.jit
+    def f(xq, wq):
+        acc = qops.qconv2d(xq, wq, zp=zp)
+        co, mode = qops.epilogue_coeffs(act_zp=zp, **kw)
+        return qops.apply_epilogue(acc, co, mode, out_dtype=out_dtype)
+    return f(xq, wq)
+
+
 @pytest.mark.parametrize("zp", [0, 5])
 def test_exact_vs_oracle(zp):
     xq, wq, ws, cs, b = _setup()
@@ -30,9 +44,8 @@ def test_exact_vs_oracle(zp):
     y = qconv2d_fused(xp, wq, act_scale=jnp.float32(0.02), act_zp=zp,
                       w_scale=ws, colsum=cs, bias=b, bb=1,
                       interpret=INTERPRET)
-    acc = qops.qconv2d(xq, wq, zp=zp)
-    ref = qops.dequant_epilogue(acc, act_scale=jnp.float32(0.02), act_zp=zp,
-                                w_scale=ws, colsum=cs, bias=b)
+    ref = _folded_ref(xq, wq, zp, act_scale=jnp.float32(0.02),
+                      w_scale=ws, colsum=cs, bias=b)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
 
 
@@ -45,10 +58,9 @@ def test_relu_requant_affine():
                        w_scale=ws, colsum=cs, bias=b, requant_scale=rs,
                        requant_zp=rz, relu=True, out_dtype=jnp.int8, bb=1,
                        interpret=INTERPRET)
-    acc = qops.qconv2d(xq, wq, zp=zp)
-    ref = qops.dequant_epilogue(acc, act_scale=jnp.float32(0.02), act_zp=zp,
-                                w_scale=ws, colsum=cs, bias=b)
-    ref8 = qops.quantize_act(jnp.maximum(ref, 0.0), rs, rz)
+    ref8 = _folded_ref(xq, wq, zp, out_dtype=jnp.int8,
+                       act_scale=jnp.float32(0.02), w_scale=ws, colsum=cs,
+                       bias=b, requant_scale=rs, requant_zp=rz, relu=True)
     assert y8.dtype == jnp.int8
     np.testing.assert_array_equal(np.asarray(y8), np.asarray(ref8))
 
@@ -61,10 +73,9 @@ def test_symmetric_requant_matches_oracle():
     y8 = qconv2d_fused(xp, wq, act_scale=jnp.float32(0.02), act_zp=zp,
                        w_scale=ws, colsum=cs, bias=b, requant_scale=rs,
                        out_dtype=jnp.int8, bb=1, interpret=INTERPRET)
-    acc = qops.qconv2d(xq, wq, zp=zp)
-    ref = qops.dequant_epilogue(acc, act_scale=jnp.float32(0.02), act_zp=zp,
-                                w_scale=ws, colsum=cs, bias=b)
-    ref8 = jnp.clip(jnp.round(ref / rs), -127, 127).astype(jnp.int8)
+    ref8 = _folded_ref(xq, wq, zp, out_dtype=jnp.int8,
+                       act_scale=jnp.float32(0.02), w_scale=ws, colsum=cs,
+                       bias=b, requant_scale=rs)
     np.testing.assert_array_equal(np.asarray(y8), np.asarray(ref8))
 
 
@@ -75,7 +86,6 @@ def test_5x5_kernel():
     y = qconv2d_fused(xp, wq, act_scale=jnp.float32(0.01), act_zp=zp,
                       w_scale=ws, colsum=cs, bias=b, bb=2,
                       interpret=INTERPRET)
-    acc = qops.qconv2d(xq, wq, zp=zp)
-    ref = qops.dequant_epilogue(acc, act_scale=jnp.float32(0.01), act_zp=zp,
-                                w_scale=ws, colsum=cs, bias=b)
+    ref = _folded_ref(xq, wq, zp, act_scale=jnp.float32(0.01),
+                      w_scale=ws, colsum=cs, bias=b)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))

@@ -1,4 +1,4 @@
-"""Pallas depthwise int8 kernel vs the XLA oracle (interpret mode on CPU)."""
+"""Pallas depthwise int8 kernel vs the folded XLA oracle (CPU interpret)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,10 +31,14 @@ def test_exact_vs_oracle(zp):
     y = qdepthwise_fused(xp, wq, act_scale=jnp.float32(0.02), act_zp=zp,
                          w_scale=ws, colsum=cs, bias=b, bb=1,
                          interpret=INTERPRET)
-    acc = qops.qconv2d(xq, wq, groups=xq.shape[-1], zp=zp)
-    ref = qops.dequant_epilogue(acc, act_scale=jnp.float32(0.02), act_zp=zp,
-                                w_scale=ws, colsum=cs, bias=b)
-    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+    @jax.jit
+    def ref_fn(xq, wq):
+        acc = qops.qconv2d(xq, wq, groups=xq.shape[-1], zp=zp)
+        co, mode = qops.epilogue_coeffs(
+            act_scale=jnp.float32(0.02), act_zp=zp, w_scale=ws, colsum=cs,
+            bias=b)
+        return qops.apply_epilogue(acc, co, mode)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref_fn(xq, wq)))
 
 
 def test_relu_affine_requant():
@@ -46,9 +50,12 @@ def test_relu_affine_requant():
                           requant_scale=jnp.float32(0.05),
                           requant_zp=jnp.int32(-3), relu=True,
                           out_dtype=jnp.int8, bb=2, interpret=INTERPRET)
-    acc = qops.qconv2d(xq, wq, groups=xq.shape[-1], zp=zp)
-    ref = qops.dequant_epilogue(acc, act_scale=jnp.float32(0.02), act_zp=zp,
-                                w_scale=ws, colsum=cs, bias=b)
-    ref8 = qops.quantize_act(jnp.maximum(ref, 0.0), jnp.float32(0.05),
-                             jnp.int32(-3))
-    np.testing.assert_array_equal(np.asarray(y8), np.asarray(ref8))
+    @jax.jit
+    def ref_fn(xq, wq):
+        acc = qops.qconv2d(xq, wq, groups=xq.shape[-1], zp=zp)
+        co, mode = qops.epilogue_coeffs(
+            act_scale=jnp.float32(0.02), act_zp=zp, w_scale=ws, colsum=cs,
+            bias=b, requant_scale=jnp.float32(0.05),
+            requant_zp=jnp.int32(-3), relu=True)
+        return qops.apply_epilogue(acc, co, mode, out_dtype=jnp.int8)
+    np.testing.assert_array_equal(np.asarray(y8), np.asarray(ref_fn(xq, wq)))
