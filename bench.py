@@ -52,38 +52,33 @@ def main() -> int:
     peak_int8 = 394e12                    # v5e nominal int8 OPS
     roofline_img_s = peak_int8 / ops_per_image
 
-    best = None
-    configs = ([(128, False), (32, False), (64, True)] if platform == "tpu"
-               else [(8, False)])
-    for batch, use_pallas in configs:
-        try:
-            eng = ResNetInt8Engine(svars, arch, use_pallas=use_pallas)
-            x = jax.random.normal(key, (batch, 224, 224, 3))
+    # B=128 XLA path is the measured operating point (round 2:
+    # scripts/chip_vmem_sweep.py — B=256 and raised scoped-vmem budgets are
+    # all slower; Pallas 1x1 injection is a net loss, see resnet_engine).
+    # The chip drifts 20-30% run-to-run (verify SKILL), so several slope-fit
+    # samples are taken and best + spread are reported (VERDICT r1 weak#1).
+    batch = 128 if platform == "tpu" else 8
+    eng = ResNetInt8Engine(svars, arch)
+    x = jax.random.normal(key, (batch, 224, 224, 3))
 
-            def body(c):
-                return c + 0.0 * jnp.sum(eng._forward(c))
+    def body(c):
+        return c + 0.0 * jnp.sum(eng._forward(c))
 
-            dt = time_scan_fit(body, x, n_short=5, n_long=20)
-            img_s = batch / dt
-            if best is None or img_s > best[0]:
-                best = (img_s, batch, use_pallas)
-        except Exception as e:  # pragma: no cover
-            print(f"config B={batch} pallas={use_pallas} failed: {e}",
-                  file=sys.stderr)
-    if best is None:
-        print(json.dumps({"metric": "resnet50_int8_images_per_sec_chip",
-                          "value": 0.0, "unit": "images/sec/chip",
-                          "vs_baseline": 0.0, "error": "all configs failed"}))
-        return 1
-
-    img_s, batch, use_pallas = best
+    samples = []
+    for _ in range(3 if platform == "tpu" else 1):
+        dt = time_scan_fit(body, x, n_short=5, n_long=20)
+        samples.append(batch / dt)
+    img_s = max(samples)
+    med = sorted(samples)[len(samples) // 2]
     print(json.dumps({
         "metric": "resnet50_int8_images_per_sec_chip",
         "value": round(img_s, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / roofline_img_s, 4),
         "batch": batch,
-        "pallas_1x1": use_pallas,
+        "median": round(med, 1),
+        "spread_pct": round(100.0 * (max(samples) - min(samples))
+                            / max(samples), 1),
         "platform": platform,
         "roofline_img_s": round(roofline_img_s, 1),
     }))

@@ -24,7 +24,7 @@ class ExperimentConfig:
     w_bits: int = 8
     a_bits: int = 8
     per_channel: bool = True
-    act_observer: str = "minmax"  # minmax | ema | kl
+    act_observer: str = "minmax"  # minmax | ema | kl | pact
     fold_bn: bool = True
     exclude: Tuple[str, ...] = ()
     cifar_stem: bool = False

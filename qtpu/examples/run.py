@@ -24,7 +24,8 @@ from qtpu.examples.configs import CONFIGS, ExperimentConfig
 from qtpu.models import get_model
 from qtpu.nn import QuantMode
 from qtpu.train import TrainState, evaluate, fit
-from qtpu.transform import calibrate, convert_model, set_mode
+from qtpu.transform import (calibrate, convert_model, quantize_variables,
+                            set_mode)
 from qtpu.utils.cache import enable_persistent_cache
 
 
@@ -69,9 +70,11 @@ def run_experiment(cfg: ExperimentConfig, seed: int = 0, verbose: bool = True,
 
     # --- quantize ---
     qmodel = convert_model(model, cfg.policy())
-    qvars = {**jax.jit(qmodel.init, static_argnames="train")(
-        key, jnp.asarray(train_ds.images[:2]), train=True),
-        **state.variables()}
+    # deep-merge: keeps quantizer-owned params (e.g. PACT alphas) that the
+    # fp32 baseline never had
+    qvars = quantize_variables(qmodel, state.variables(),
+                               jnp.asarray(train_ds.images[:2]), rng=key,
+                               train=True)
 
     if cfg.method == "ptq":
         calib = [jnp.asarray(train_ds.images[i * cfg.batch_size:

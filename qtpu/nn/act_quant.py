@@ -58,6 +58,15 @@ class ActQuant(nn.Module):
         self.variable(PARAMS_COL, "calibrated",
                       lambda: jnp.zeros((), jnp.bool_))
 
+        # PACT (Choi et al. 2018, PAPERS.md): learnable clip threshold α in
+        # the trainable params collection — the QAT optimizer learns it
+        # alongside the weights.  Its grid is affine_qparams(0, α), so the
+        # calibrate/freeze/serve pipeline is unchanged: CALIB_RANGE records
+        # (0, α) as the observed range.
+        alpha = (self.param("pact_alpha",
+                            lambda _: jnp.asarray(spec.pact_init, jnp.float32))
+                 if spec.act_observer == "pact" else None)
+
         # Don't pollute observer state with the init-time sample batch.
         mutable = (self.is_mutable_collection(STATS_COL)
                    and not self.is_initializing())
@@ -65,9 +74,16 @@ class ActQuant(nn.Module):
 
         if self.mode == QuantMode.CALIB_RANGE:
             if mutable:
-                new = (obs.ema_update(state, x, spec.ema_momentum)
-                       if spec.act_observer == "ema" else obs.minmax_update(state, x))
-                vmin.value, vmax.value, vcount.value = new["min"], new["max"], new["count"]
+                if spec.act_observer == "pact":
+                    vmin.value = jnp.zeros((), jnp.float32)
+                    vmax.value = jnp.asarray(alpha, jnp.float32)
+                    vcount.value = vcount.value + 1
+                else:
+                    new = (obs.ema_update(state, x, spec.ema_momentum)
+                           if spec.act_observer == "ema"
+                           else obs.minmax_update(state, x))
+                    vmin.value, vmax.value, vcount.value = (
+                        new["min"], new["max"], new["count"])
             return x
 
         if self.mode == QuantMode.CALIB_HIST:
@@ -78,6 +94,11 @@ class ActQuant(nn.Module):
             return x
 
         # --- quantizing modes: pick (scale, zp) ---
+        if alpha is not None and self.mode in (QuantMode.QUANT_ONLINE,
+                                               QuantMode.QUANT_EMA):
+            # training-time PACT: clip to the live α (α gradient via clip)
+            return fq.fake_quant_pact(x, alpha, bits=spec.a_bits,
+                                      ste=spec.ste)
         if self.mode == QuantMode.QUANT_ONLINE:
             xmin, xmax = jnp.min(x), jnp.max(x)
             scale, zp = self._qparams(xmin, xmax, spec)

@@ -56,19 +56,24 @@ class LayerQuantSpec:
     w_bits: int = 8
     a_bits: int = 8
     per_channel: bool = True          # weight scale per output channel
-    act_observer: str = "minmax"      # 'minmax' | 'ema' | 'kl'
+    act_observer: str = "minmax"      # 'minmax' | 'ema' | 'kl' | 'pact'
     act_symmetric: bool = False       # affine acts by default; KL forces symmetric
     ema_momentum: float = 0.99
     ste: str = "passthrough"          # 'passthrough' | 'clip'
     quantize_weights: bool = True
     quantize_acts: bool = True
+    pact_init: float = 6.0            # initial learnable clip α ('pact' only)
 
     def __post_init__(self):
-        if self.act_observer not in ("minmax", "ema", "kl"):
+        if self.act_observer not in ("minmax", "ema", "kl", "pact"):
             raise ValueError(f"unknown act_observer {self.act_observer!r}")
         if self.act_observer == "kl" and not self.act_symmetric:
             # KL calibration searches a symmetric |x| threshold.
             object.__setattr__(self, "act_symmetric", True)
+        if self.act_observer == "pact" and self.act_symmetric:
+            # PACT clips to [0, α] — inherently an unsigned affine grid.
+            raise ValueError("PACT activations are affine (act_symmetric "
+                             "must be False)")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,4 +122,12 @@ class QuantPolicy:
         """INT4 weights + INT8 acts (BASELINE.json config 5)."""
         return QuantPolicy(
             default=LayerQuantSpec(w_bits=4, a_bits=a_bits, act_observer="ema"),
+            mode=QuantMode.QUANT_EMA, **kw)
+
+    @staticmethod
+    def int8_qat_pact(w_bits: int = 8, **kw) -> "QuantPolicy":
+        """QAT with PACT learnable activation clipping (PAPERS.md) — the
+        recommended activation quantizer for low-bit (int4) fine-tunes."""
+        return QuantPolicy(
+            default=LayerQuantSpec(w_bits=w_bits, act_observer="pact"),
             mode=QuantMode.QUANT_EMA, **kw)

@@ -125,6 +125,26 @@ def fake_quant(x: Array, scale: Array, zero_point: Array | float = 0.0, *,
                      jax.lax.stop_gradient(xq))
 
 
+def fake_quant_pact(x: Array, alpha: Array, *, bits: int = 8,
+                    ste: STE = "passthrough") -> Array:
+    """PACT activation fake-quant with a LEARNABLE clip threshold.
+
+    Choi et al. 2018 (PAPERS.md): ``y = clip(x, 0, α)`` quantized on the
+    unsigned grid ``[0, α]``.  The α gradient is exactly the paper's STE —
+    ``∂y/∂α = 1{x ≥ α}`` — obtained for free from ``jnp.clip``'s autodiff;
+    the gradient through the grid scale is stopped (as for all scales here,
+    SURVEY.md §3.3).  The resulting grid equals ``affine_qparams(0, α)``
+    with zero_point 0, so calibration/freeze/serving treat PACT layers like
+    any affine activation (ActQuant records (0, α) as the observed range).
+    """
+    _, qmax = qrange(bits, signed=False, symmetric=False)
+    alpha = jnp.maximum(jnp.asarray(alpha, jnp.float32), 1e-6)
+    yc = jnp.clip(x, 0.0, alpha)
+    scale = jax.lax.stop_gradient(alpha) / qmax
+    return fake_quant(yc, scale, 0.0, bits=bits, signed=False,
+                      symmetric=False, ste=ste)
+
+
 def fake_quant_weight(w: Array, *, bits: int = 8,
                       channel_axis: Optional[int] = None,
                       ste: STE = "passthrough") -> Array:

@@ -64,7 +64,22 @@ def quantize_variables(qmodel: nn.Module, variables, sample, *, rng=None,
     init = jax.jit(qmodel.init, static_argnames="train") if train else \
         jax.jit(qmodel.init)
     fresh = dict(init(rng, sample, train=True) if train else init(rng, sample))
-    return {**fresh, **dict(variables)}
+    return _deep_merge(fresh, dict(variables))
+
+
+def _deep_merge(fresh, trained):
+    """Overlay trained leaves onto the fresh tree, keeping fresh-only paths.
+
+    A shallow ``{**fresh, **trained}`` would drop quantizer-owned params the
+    fp32 baseline never had (e.g. PACT's learnable ``pact_alpha`` lives in
+    the 'params' collection alongside the trained weights).
+    """
+    if isinstance(fresh, dict) and isinstance(trained, dict):
+        out = dict(fresh)
+        for k, v in trained.items():
+            out[k] = _deep_merge(fresh[k], v) if k in fresh else v
+        return out
+    return trained
 
 
 def set_mode(model: nn.Module, mode: QuantMode) -> nn.Module:
