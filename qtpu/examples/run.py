@@ -111,9 +111,26 @@ def run_experiment(cfg: ExperimentConfig, seed: int = 0, verbose: bool = True,
                                jnp.asarray(train_ds.images[:2]))
         n_dev = len(jax.devices())
         tp = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
+        # ResNet configs serve through the flat int8-resident engine
+        # (ROADMAP: engine-based serving for config 4): the factory builds
+        # the engine from the TP-SHARDED variables outside jit, and the
+        # captured sharded weights keep their placements in the jitted call.
+        forward_factory = None
+        if cfg.model in ("resnet18", "resnet50") and not cfg.exclude:
+            from qtpu.serve.resnet_engine import ResNetInt8Engine
+
+            arch = dict(
+                stage_sizes=((3, 4, 6, 3) if cfg.model == "resnet50"
+                             else (2, 2, 2, 2)),
+                width=64, bottleneck=cfg.model == "resnet50",
+                cifar_stem=cfg.image_size <= 64,
+                num_classes=cfg.num_classes)
+            forward_factory = (
+                lambda sv: ResNetInt8Engine(sv, arch)._forward)
         engine = ServingEngine(smodel, svars,
                                mesh=make_mesh(dp=n_dev // tp, tp=tp),
-                               batch_buckets=(cfg.batch_size,))
+                               batch_buckets=(cfg.batch_size,),
+                               forward_factory=forward_factory)
         shape = eval_ds.images.shape[1:]
         engine.warmup(shape)
         n_serve = min(len(eval_ds.images), 4 * cfg.batch_size)
@@ -123,7 +140,9 @@ def run_experiment(cfg: ExperimentConfig, seed: int = 0, verbose: bool = True,
         serve_stats = {**{k: round(float(vv), 2)
                           for k, vv in engine.stats().items()},
                        "serve_top1": round(serve_top1, 4),
-                       "mesh": f"dp={n_dev // tp},tp={tp}"}
+                       "mesh": f"dp={n_dev // tp},tp={tp}",
+                       "serve_path": ("flat-engine" if forward_factory is not None
+                                      else "module")}
         engine.stop()
 
     result = {

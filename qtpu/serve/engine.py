@@ -50,17 +50,25 @@ class ServingEngine:
     def __init__(self, model, serve_vars: Dict[str, Any], *,
                  mesh=None, batch_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32),
                  max_wait_ms: float = 2.0, forward_fn=None,
-                 max_queue: int = 4096):
+                 forward_factory=None, max_queue: int = 4096):
         """``model``/``serve_vars``: a frozen SERVE module + variables.
 
-        ``forward_fn(variables, batch) -> logits`` overrides the module apply —
-        pass a flat engine's forward (e.g. ``lambda v, x:
-        ResNetInt8Engine(v, arch)._forward(x)``) to serve through the fused
-        int8-resident pipeline instead of the generic module path.
+        ``forward_fn(variables, batch) -> logits`` overrides the module apply.
+
+        ``forward_factory(sharded_vars) -> fn(batch)`` builds a forward from
+        the TP-SHARDED variables *outside* jit — the route for flat engines
+        whose constructors read concrete metadata (e.g.
+        ``lambda sv: ResNetInt8Engine(sv, arch)._forward``): the captured
+        sharded weights keep their placements inside the jitted call.
         """
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh(tp=1)
         self.vars = shard_variables(serve_vars, self.mesh)
+        if forward_factory is not None:
+            if forward_fn is not None:
+                raise ValueError("pass forward_fn OR forward_factory")
+            inner = forward_factory(self.vars)
+            forward_fn = lambda _v, x: inner(x)
         # batch buckets must shard over the 'data' axis: round each up to a
         # multiple of dp (padding fills the difference at dispatch time)
         dp = self.mesh.shape["data"]

@@ -5,11 +5,14 @@ layer — correct and general, but it leaves fusion on the table.  This engine
 runs ResNet-18/50 from the frozen ``qweights`` tree (``qtpu.transform.freeze``
 output) as a flat int8-resident pipeline (SURVEY.md §3.5 target shape):
 
-* 1×1 convolutions run as Pallas fused GEMMs (``qmatmul_fused``) with the
-  ReLU + affine requantization epilogue fused — activations stay int8 across
-  the bottleneck chain, quantized on each consumer's calibrated grid;
-* K×K convolutions use XLA's int8 MXU conv (measured 75-81% peak for the
-  Ci≥128 3×3s) with the dequant+relu+requant epilogue fused by XLA;
+* all convolutions run on XLA's int8 MXU paths with FOLDED
+  dequant+relu+requant epilogues (qops.epilogue_coeffs) — activations stay
+  int8 across the bottleneck chain, quantized on each consumer's calibrated
+  grid.  The round-2 measured rule: XLA-TPU keeps inter-fusion activations
+  VMEM-resident (scoped S(1)), and inserting Pallas custom calls breaks
+  that residency for more than the kernels win — so the default program is
+  pure XLA, and the validated Pallas block kernels (qproj/qtail/qblock)
+  are opt-ins (see the use_q* constructor notes);
 * residual adds happen in f32 on the 1×1-project output, then one fused
   relu+requant produces the next block's int8 input;
 * max-pool commutes with the (monotonic) quantizer, so the stem max-pool runs
@@ -34,13 +37,12 @@ from qtpu.ops import qops
 from qtpu.ops.pallas.qblock import block_coeffs, qbottleneck_fused
 from qtpu.ops.pallas.qproj import proj_coeffs, qproj2d_fused
 from qtpu.ops.pallas.qtail import qtail_fused, tail_coeffs
-from qtpu.serve.fused_ops import (Grid, best_tile as _best_tile,
+from qtpu.serve.fused_ops import (Grid,
                                   conv_xla as _fused_conv,
                                   dequant as _fused_dequant,
                                   gemm_1x1 as _fused_gemm,
                                   grid_of as _grid_of,
                                   grid_parts as _grid_parts,
-                                  lane_tile as _lane_tile,
                                   unpacked_kernel as _unpacked_kernel)
 
 Array = jax.Array
@@ -132,8 +134,10 @@ class ResNetInt8Engine:
         # 466us) — inserting a custom call breaks XLA-TPU's scoped-VMEM
         # (S(1)) activation residency around it, and unrelated scopes slow
         # by far more than the kernel saves (trace: stem +319us, layer1_1
-        # +411us/step).  The e2e fix for the f32 round trip is the
-        # XLA-native interleaved dual GEMM in fused_ops.gemm_dual_xla.
+        # +411us/step).  An XLA-native block-diagonal dual GEMM was also
+        # measured and loses 2.5x (the int32 2*Cout accumulator
+        # materializes — scripts/chip_xladual_bench.py), so the f32 round
+        # trip stands until whole-program Pallas serving (ROADMAP).
         if use_qproj is None:
             use_qproj = False
         self.use_qproj = use_qproj and self.arch.get("bottleneck", True)

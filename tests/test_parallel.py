@@ -164,3 +164,31 @@ def test_virtual_mesh_tp_serve_emits_collectives(frozen_lenet):
                                     sharding=NamedSharding(mesh, P()))
     hlo = jax.jit(sm.apply).lower(sv_shaped, x_shaped).compile().as_text()
     assert "all-gather" in hlo or "all-reduce" in hlo
+
+
+def test_serving_engine_flat_resnet_forward_tp():
+    """Config-4 shape: the flat ResNetInt8Engine built INSIDE the jitted
+    forward from the TP-sharded variables serves correctly over the mesh."""
+    from qtpu.serve.resnet_engine import ResNetInt8Engine
+    from qtpu.transform import calibrate, convert_model, freeze
+
+    m = get_model("resnet18", num_classes=10, cifar_stem=True)
+    m = m.clone(stage_sizes=(1, 1, 1, 1))
+    x = jax.random.normal(KEY, (8, 32, 32, 3))
+    qm = convert_model(m, QuantPolicy.int8_ptq())
+    v = dict(jax.jit(qm.init, static_argnames="train")(KEY, x, train=True))
+    v = calibrate(qm, v, [x])
+    sm, sv = freeze(qm, v, x)
+    arch = dict(stage_sizes=(1, 1, 1, 1), width=64, bottleneck=False,
+                cifar_stem=True, num_classes=10)
+    ref = np.asarray(ResNetInt8Engine(sv, arch).forward(x))
+
+    eng = ServingEngine(sm, sv, mesh=make_mesh(dp=4, tp=2),
+                        batch_buckets=(8,), max_wait_ms=5.0,
+                        forward_factory=lambda svs:
+                        ResNetInt8Engine(svs, arch)._forward)
+    try:
+        out = eng.predict(np.asarray(x))
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+    finally:
+        eng.stop()
