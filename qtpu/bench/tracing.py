@@ -201,6 +201,11 @@ def main() -> int:
     rows = layer_table(parse_trace(path), steps)
     print(format_table(
         rows, title=f"ResNet-50 int8 engine, B={batch} ({path})"))
+    if len(sys.argv) > 2:          # optional JSON artifact path
+        import json
+        with open(sys.argv[2], "w") as f:
+            json.dump(dict(batch=batch, trace=path, rows=rows), f, indent=1)
+        print(f"saved {sys.argv[2]}", file=sys.stderr)
     return 0
 
 

@@ -8,11 +8,16 @@ round trip; the round-2 trace shows that single block costing 1.46 ms/step,
 requant in one VMEM pass: traffic drops to the two int8 inputs + one int8
 output.
 
-Design mirrors qtail (grid over batch tiles → Mosaic double-buffers DMA
-under the MXU work; no relayouts — both GEMMs are 1×1).  The epilogue
-mirrors the XLA reference order exactly — the downsample branch is
-dequantized on its own (unrequantized) folded coefficients, then added via
-the requant-scaled C — so outputs stay bit-identical to the
+The 2-D form (qproj2d_fused) is the performant shape: zero vector-layout
+casts, and measured 1.8-4.4× faster than the XLA fusion pair per stage,
+bit-exact (scripts/chip_2d_bench.py: l1_0 664 vs 1551 µs, l3_0 121 vs 536).
+It is still OFF by default in the engine: a custom call inside the XLA
+program breaks scoped-VMEM activation residency around it and costs more
+e2e than the kernel saves (resnet_engine.py use_qproj note) — it wins when
+serving stages standalone or once whole-program Pallas serving lands.
+The epilogue mirrors the XLA reference order exactly — the downsample
+branch is dequantized on its own (unrequantized) folded coefficients, then
+added via the requant-scaled C — so outputs stay bit-identical to the
 gemm_1x1(f32) → gemm_1x1(+residual) sequence (tests/test_pallas_qproj.py).
 
 Pixel pairing (``pair``): same Mosaic lane rule as qtail — Cmid=Cin=64

@@ -2,18 +2,19 @@
 
 Round-2 trace finding (qtpu.bench.tracing, B=128): XLA's cross-fused
 [conv2(3×3) → requant → conv3(1×1) + residual → relu → requant] fusion runs
-at 38-55% of max(MXU, HBM) on every ResNet-50 identity block — neither unit
-saturated — while standalone elementwise chains hit ~960 GB/s and the Pallas
-GEMM hits 89% MXU (scripts/chip_vpu_bench.py).  The gap is the fusion's
-internal pipelining, which this kernel reclaims: grid over batch tiles so
-Mosaic double-buffers the (input, residual, output) DMA under the tap GEMMs,
-and conv2→conv3 chain entirely in VMEM with *no relayout* (conv3 is 1×1, so
-the (rows, Cmid) GEMM view of conv2's output feeds it directly).
+at 38-55% of max(MXU, HBM) on every ResNet-50 identity block.  This kernel
+targeted that gap: grid over batch tiles, conv2→conv3 chained in VMEM with
+no relayout between them (conv3 is 1×1).
 
-Differences from the monolithic qblock kernel (which measured 2-5× slower
-than XLA): no conv1 stage, no in-kernel zp-pad scratch fill (the caller
-pre-pads — XLA streams that copy at HBM rate), and only two vector-layout
-casts per step (window in, codes out).
+Measured outcome (2026-08-18, scripts/chip_qtail_stage_bench.py, B=128,
+bit-exact): the kernel LOSES ~2-3× per stage anyway (l2 1519 vs 717 µs XLA;
+l3 666 vs ~260 in-trace) — the per-tap (bb, H, W·C) → (rows, C) window
+casts are materialized Mosaic relayouts, the same pathology as qconv and
+qblock, and on top of that ANY custom call breaks XLA's scoped-VMEM
+activation residency around it (resnet_engine.py use_qproj note).  Kept as
+a correct, tested opt-in and as the record of WHY 3-D-blocked conv kernels
+do not pay on this toolchain; the zero-cast 2-D forms (qmatmul, qproj2d)
+are the competitive shapes.
 
 Epilogues use the folded form (qops.epilogue_coeffs) — bit-identical to the
 XLA reference sequence conv_xla → gemm_1x1(+residual) in
