@@ -1,0 +1,98 @@
+"""Host RPC front for the serving engine (SURVEY.md §2.4 qtpu/serve row).
+
+A minimal, dependency-free HTTP frontend over :class:`qtpu.serve.ServingEngine`
+— the piece that turns the continuous-batching scheduler into a network
+service.  stdlib ``http.server`` only (no egress/install in this
+environment); one process per host, the engine underneath handles the mesh
+(including multi-host lockstep serving — engine docstring).
+
+Protocol (numpy ``.npy`` bytes on the wire — self-describing dtype/shape,
+zero deps on either side):
+
+* ``POST /predict`` — body: one ``.npy`` array of images, (B, H, W, C) or a
+  single (H, W, C) image.  Response: ``.npy`` array of logits.
+* ``GET /stats``    — engine metrics as JSON (images/sec, p50/p99, occupancy).
+* ``GET /healthz``  — 200 once the engine thread is live.
+
+Client sketch::
+
+    buf = io.BytesIO(); np.save(buf, images)
+    r = urllib.request.urlopen("http://host:8000/predict", buf.getvalue())
+    logits = np.load(io.BytesIO(r.read()))
+
+Requests are submitted per-image into the engine's queue, so concurrent
+HTTP clients batch together through the continuous-batching scheduler —
+the RPC layer adds no batching policy of its own.
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine = None                     # set by serve_http
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):   # quiet by default
+        pass
+
+    def _send(self, code: int, body: bytes, ctype: str):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, code: int, obj):
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._send_json(200, {"ok": True})
+        elif self.path == "/stats":
+            self._send_json(200, {k: float(v)
+                                  for k, v in self.engine.stats().items()})
+        else:
+            self._send_json(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self):
+        if self.path != "/predict":
+            self._send_json(404, {"error": f"no route {self.path}"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            arr = np.load(io.BytesIO(self.rfile.read(n)), allow_pickle=False)
+            if arr.ndim == 3:
+                arr = arr[None]
+            logits = self.engine.predict(np.ascontiguousarray(arr))
+            buf = io.BytesIO()
+            np.save(buf, np.asarray(logits))
+            self._send(200, buf.getvalue(), "application/octet-stream")
+        except Exception as e:  # surface engine/deser errors to the client
+            self._send_json(400, {"error": str(e)})
+
+
+def serve_http(engine, host: str = "0.0.0.0", port: int = 8000,
+               block: bool = True
+               ) -> Tuple[ThreadingHTTPServer, Optional[threading.Thread]]:
+    """Serve ``engine`` over HTTP; returns (server, thread).
+
+    ``block=False`` runs the server on a daemon thread (tests/embedding);
+    call ``server.shutdown()`` to stop.  The engine's own scheduler thread
+    keeps batching across concurrent requests either way.
+    """
+    handler = type("BoundHandler", (_Handler,), {"engine": engine})
+    server = ThreadingHTTPServer((host, port), handler)
+    if block:
+        server.serve_forever()
+        return server, None
+    t = threading.Thread(target=server.serve_forever, daemon=True,
+                         name="qtpu-http-front")
+    t.start()
+    return server, t

@@ -55,7 +55,7 @@ def bench(H, C):
     @jax.jit
     def p_raw(xq):
         xp = pad_for_conv(xq, (3, 3), zp)
-        return qdepthwise_fused(xp, wq, **kw, bb=4, out_dtype=jnp.int8)
+        return qdepthwise_fused(xp, wq, **kw, bb=2, out_dtype=jnp.int8)
 
     Cp = -(-C // 128) * 128
 
@@ -68,7 +68,7 @@ def bench(H, C):
         kwp = dict(kw, w_scale=jnp.pad(ws, (0, Cp - C), constant_values=1.0),
                    colsum=jnp.pad(cs, (0, Cp - C)),
                    bias=jnp.pad(b, (0, Cp - C)))
-        y = qdepthwise_fused(xp, wp, **kwp, bb=4, out_dtype=jnp.int8)
+        y = qdepthwise_fused(xp, wp, **kwp, bb=2, out_dtype=jnp.int8)
         return y[..., :C]
 
     ref = np.asarray(xla_fn(xq[:4]))

@@ -99,3 +99,22 @@ def test_synthetic_fallback_flagged(data_dir):
     assert ds.synthetic and ds.images.shape == (8, 32, 32, 3)
     with pytest.raises(RuntimeError):
         D.load_dataset("cifar10", "test", synthetic_ok=False)
+
+
+def test_grain_pipeline_matches_semantics(data_dir):
+    """grain_batches: deterministic shuffled epoch, drop-remainder, full
+    coverage — the production input pipeline over the same Dataset."""
+    from qtpu.data import grain_batches
+
+    ds = D.load_dataset("mnist", "train", n=70)      # synthetic fallback
+    got = list(grain_batches(ds, 16, seed=3))
+    assert len(got) == 4                              # 70 // 16, remainder dropped
+    xs = np.concatenate([b[0] for b in got])
+    ys = np.concatenate([b[1] for b in got])
+    assert xs.shape == (64, 28, 28, 1) and ys.shape == (64,)
+    # shuffled (not the identity order), deterministic across runs
+    got2 = list(grain_batches(ds, 16, seed=3))
+    for (x1, y1), (x2, y2) in zip(got, got2):
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(y1, y2)
+    assert not np.array_equal(ys, ds.labels[:64])

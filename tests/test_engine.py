@@ -78,3 +78,44 @@ def test_engine_excluded_stem_fc_int4():
     assert rel < 0.10, f"engine deviates too much: rel={rel}"
     agree = float(jnp.mean(jnp.argmax(y_eng, -1) == jnp.argmax(y_module, -1)))
     assert agree == 1.0
+
+
+def test_http_front_serves_predictions():
+    """Host RPC front (SURVEY §2.4): npy in -> logits out over HTTP, plus
+    /stats and /healthz, batching through the ServingEngine underneath."""
+    import io
+    import json as _json
+    import urllib.request
+
+    from qtpu.parallel import make_mesh
+    from qtpu.serve import ServingEngine, serve_http
+    from qtpu.transform import calibrate, convert_model, freeze
+
+    m = get_model("lenet5")
+    x = jax.random.normal(KEY, (8, 28, 28, 1))
+    qm = convert_model(m, QuantPolicy.int8_ptq())
+    v = dict(jax.jit(qm.init)(KEY, x))
+    v = calibrate(qm, v, [x])
+    sm, sv = freeze(qm, v, x)
+    eng = ServingEngine(sm, sv, mesh=make_mesh(dp=1, tp=1,
+                                               devices=jax.devices()[:1]),
+                        batch_buckets=(4, 8), max_wait_ms=5.0)
+    server, _ = serve_http(eng, host="127.0.0.1", port=0, block=False)
+    port = server.server_address[1]
+    try:
+        r = urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz")
+        assert _json.loads(r.read())["ok"]
+        buf = io.BytesIO()
+        np.save(buf, np.asarray(x[:4]))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+            method="POST")
+        logits = np.load(io.BytesIO(urllib.request.urlopen(req).read()))
+        ref = np.asarray(jax.jit(sm.apply)(sv, x[:4]))
+        np.testing.assert_allclose(logits, ref, atol=1e-4, rtol=1e-4)
+        stats = _json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats").read())
+        assert stats["images"] >= 4
+    finally:
+        server.shutdown()
+        eng.stop()
