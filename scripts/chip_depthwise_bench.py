@@ -1,9 +1,24 @@
 """On-chip depthwise int8 kernel bench: lane-aligned channels vs round 1.
 
-Round 1: qdepthwise at 74 GB/s effective vs XLA's 162 on 112²×96.  Round-2
-relayout finding: the kernel's per-tap window slice at lane offset kw·C is
-only tile-aligned when C % 128 == 0 — for MobileNet channel counts (96, 144,
-192, ...) every tap pays a lane-rotate relayout of the window.  Variants:
+Round 1: qdepthwise at 74 GB/s effective vs XLA's 162 on 112²×96.  The
+relayout hypothesis (per-tap window slice at lane offset kw·C only aligned
+when C % 128 == 0) was tested via the p_pad variant — and REFUTED:
+
+  MEASURED 2026-08-18 (B=32, one process):
+    112²x96 : xla 261us (295 GB/s) | p_raw 1065us (72) | p_pad 1613us (48)
+    56²x144 : xla  83us (349 GB/s) | p_raw  617us (47) | p_pad  686us (42)
+    28²x384 : p_raw 408us (47)     | p_pad 308us (63)
+
+  Channel-padding to 128 multiples makes the big shapes WORSE (+33% data
+  dominates), so the kernel's loss is in the int32 broadcast-multiply
+  accumulation itself, not the tap slices.  XLA's grouped int8 conv is
+  3-7x faster than any variant and stays the engine dispatch — final,
+  consistent with the round-2 rule that custom calls also break scoped-VMEM
+  residency around themselves.  (p_pad additionally showed a coefficient-
+  padding exactness subtlety on affine grids — not worth chasing given the
+  perf verdict; p_raw, the shipped kernel, is bit-exact everywhere.)
+
+Variants:
 
   xla     qops.qconv2d(groups=C) + folded epilogue            [dispatch today]
   p_raw   qdepthwise_fused at native C                        [round-1 form]
