@@ -166,32 +166,49 @@ def format_table(rows: List[Dict], title: str = "") -> str:
 
 
 def main() -> int:
+    import argparse
     import sys
 
     import jax
-    import jax.numpy as jnp
 
     from qtpu.models import get_model
     from qtpu.nn import QuantPolicy
-    from qtpu.serve.resnet_engine import ResNetInt8Engine
     from qtpu.transform import calibrate, convert_model, freeze
+
+    ap = argparse.ArgumentParser(
+        description="per-layer roofline table from a device trace")
+    ap.add_argument("batch", nargs="?", type=int, default=32)
+    ap.add_argument("json_out", nargs="?", default=None,
+                    help="optional JSON artifact path")
+    ap.add_argument("--model", default="resnet50",
+                    choices=("resnet50", "mobilenet_v2"))
+    args = ap.parse_args()
 
     # NOTE: no enable_persistent_cache() here — the JAX compilation-cache key
     # canonicalizes op metadata away, so a cached executable compiled before
     # annotate() scopes were added would be served WITHOUT scope attribution
     # (observed 2026-08-17: tf_op showed no scopes until the cache was
     # bypassed). Profiling runs pay the fresh compile.
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    batch = args.batch
     key = jax.random.PRNGKey(0)
-    model = get_model("resnet50", num_classes=1000, cifar_stem=False)
+    model = (get_model("resnet50", num_classes=1000, cifar_stem=False)
+             if args.model == "resnet50"
+             else get_model("mobilenet_v2", num_classes=1000))
     x0 = jax.random.normal(key, (8, 224, 224, 3))
     qm = convert_model(model, QuantPolicy.int8_ptq())
     qv = jax.jit(qm.init, static_argnames="train")(key, x0, train=True)
     qv = calibrate(qm, dict(qv), [x0])
     _, sv = freeze(qm, qv, x0)
-    arch = dict(stage_sizes=(3, 4, 6, 3), width=64, bottleneck=True,
-                cifar_stem=False, num_classes=1000)
-    eng = ResNetInt8Engine(sv, arch)
+    if args.model == "resnet50":
+        from qtpu.serve.resnet_engine import ResNetInt8Engine
+
+        arch = dict(stage_sizes=(3, 4, 6, 3), width=64, bottleneck=True,
+                    cifar_stem=False, num_classes=1000)
+        eng = ResNetInt8Engine(sv, arch)
+    else:
+        from qtpu.serve.mobilenet_engine import MobileNetV2Int8Engine
+
+        eng = MobileNetV2Int8Engine(sv, num_classes=1000)
     x = jax.random.normal(key, (batch, 224, 224, 3))
     steps = 10
     path = capture_trace(eng.forward, x, steps=steps)
@@ -200,12 +217,13 @@ def main() -> int:
         return 1
     rows = layer_table(parse_trace(path), steps)
     print(format_table(
-        rows, title=f"ResNet-50 int8 engine, B={batch} ({path})"))
-    if len(sys.argv) > 2:          # optional JSON artifact path
+        rows, title=f"{args.model} int8 engine, B={batch} ({path})"))
+    if args.json_out:
         import json
-        with open(sys.argv[2], "w") as f:
-            json.dump(dict(batch=batch, trace=path, rows=rows), f, indent=1)
-        print(f"saved {sys.argv[2]}", file=sys.stderr)
+        with open(args.json_out, "w") as f:
+            json.dump(dict(model=args.model, batch=batch, trace=path,
+                           rows=rows), f, indent=1)
+        print(f"saved {args.json_out}", file=sys.stderr)
     return 0
 
 

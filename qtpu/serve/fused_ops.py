@@ -9,7 +9,7 @@ allow.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,18 +77,6 @@ def lane_tile(n: int, candidates=(512, 256, 128)) -> int:
 def dequant(x_q: Array, grid: Grid) -> Array:
     s, zp, _ = grid_parts(grid)
     return (x_q.astype(jnp.float32) - zp.astype(jnp.float32)) * s
-
-
-def _finish(y: Array, relu: bool, act_max: Optional[float],
-            requant: Optional[Grid]) -> Array:
-    if relu:
-        y = jnp.maximum(y, 0.0)
-    if act_max is not None:
-        y = jnp.minimum(y, act_max)
-    if requant is not None:
-        rs, rz, rsym = grid_parts(requant)
-        y = qops.quantize_act(y, rs, rz, symmetric=rsym)
-    return y
 
 
 def gemm_1x1(x_q: Array, node: Dict[str, Array], *, relu: bool = False,

@@ -15,7 +15,7 @@ expand/dw/project children (expand absent when t=1), head, fc.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
