@@ -17,14 +17,25 @@ from qtpu.transform import calibrate, convert_model, freeze
 KEY = jax.random.PRNGKey(0)
 
 
-@pytest.mark.parametrize("bottleneck", [False, True])
-def test_engine_matches_module_serve(bottleneck):
+@pytest.mark.parametrize("bottleneck,symmetric", [
+    (False, False), (True, False),
+    # symmetric act grids exercise the engine's ±127 requant path (the one
+    # KL-calibrated configs use) — parity with the module SERVE path must
+    # hold there too, not just for the affine default.
+    (False, True),
+])
+def test_engine_matches_module_serve(bottleneck, symmetric):
+    from qtpu.nn.config import LayerQuantSpec, QuantMode
+
     name = "resnet50" if bottleneck else "resnet18"
     m = get_model(name, num_classes=10, cifar_stem=True)
     if bottleneck:  # shrink ResNet-50 for CPU test time
         m = m.clone(stage_sizes=(1, 1, 1, 1))
     x = jax.random.normal(KEY, (4, 32, 32, 3))
-    qm = convert_model(m, QuantPolicy.int8_ptq())
+    pol = (QuantPolicy(default=LayerQuantSpec(act_symmetric=True),
+                       mode=QuantMode.QUANT)
+           if symmetric else QuantPolicy.int8_ptq())
+    qm = convert_model(m, pol)
     v = dict(jax.jit(qm.init, static_argnames="train")(KEY, x, train=True))
     tr = jax.jit(lambda v, xx: qm.apply(
         v, xx, train=True, mutable=["batch_stats", "quant_stats"]))
