@@ -1,0 +1,82 @@
+"""Spatial partitioning (halo-exchange conv) vs the single-device oracle.
+
+Integer cases must match qtpu.ops.qops.qconv2d EXACTLY (same int32
+accumulators); fp32 cases match lax SAME conv to tolerance.  Runs on the
+8-virtual-device CPU mesh (conftest).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qtpu.ops import qops
+from qtpu.parallel.spatial import (make_spatial_mesh, spatial_conv2d,
+                                   spatial_sharding)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _int8(key, shape):
+    return jax.random.randint(key, shape, -128, 128, dtype=jnp.int8)
+
+
+@pytest.mark.parametrize("kh,kw,stride", [
+    (3, 3, 1),   # the workhorse 3x3
+    (3, 3, 2),   # stage-boundary downsample
+    (1, 1, 1),   # pointwise (no halo at all)
+    (7, 7, 2),   # ResNet stem geometry
+])
+@pytest.mark.parametrize("zp", [None, 5])
+def test_spatial_qconv_exact(kh, kw, stride, zp):
+    k1, k2 = jax.random.split(KEY)
+    x = _int8(k1, (2, 16, 16, 8))
+    w = _int8(k2, (kh, kw, 8, 16))
+    zp_arr = None if zp is None else jnp.asarray(zp, jnp.int32)
+    ref = qops.qconv2d(x, w, strides=(stride, stride), zp=zp_arr)
+
+    mesh = make_spatial_mesh(sp=4, dp=2)
+    xs = jax.device_put(x, spatial_sharding(mesh))
+    out = spatial_conv2d(xs, w, mesh, strides=(stride, stride), zp=zp_arr)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_spatial_conv_fp32_and_chaining():
+    """fp32 path vs lax SAME conv, and two chained convs stay H-sharded
+    with only halo ppermutes between them (no resharding round trip)."""
+    k1, k2, k3 = jax.random.split(KEY, 3)
+    x = jax.random.normal(k1, (2, 32, 32, 4))
+    w1 = jax.random.normal(k2, (3, 3, 4, 8)) * 0.1
+    w2 = jax.random.normal(k3, (3, 3, 8, 8)) * 0.1
+
+    ref = jax.lax.conv_general_dilated(
+        x, w1, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ref = jax.lax.conv_general_dilated(
+        ref, w2, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    mesh = make_spatial_mesh(sp=8, dp=1)
+    xs = jax.device_put(x, spatial_sharding(mesh))
+    y = spatial_conv2d(xs, w1, mesh)
+    assert y.sharding.spec == spatial_sharding(mesh).spec
+    y = spatial_conv2d(y, w2, mesh, strides=(2, 2))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_spatial_depthwise():
+    """groups=C depthwise conv through the same halo path (MobileNet)."""
+    k1, k2 = jax.random.split(KEY)
+    x = _int8(k1, (2, 16, 16, 8))
+    w = _int8(k2, (3, 3, 1, 8))
+    ref = qops.qconv2d(x, w, strides=(1, 1), groups=8)
+    mesh = make_spatial_mesh(sp=4, dp=2)
+    xs = jax.device_put(x, spatial_sharding(mesh))
+    out = spatial_conv2d(xs, w, mesh, groups=8)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_spatial_rejects_bad_geometry():
+    mesh = make_spatial_mesh(sp=4, dp=2)
+    x = jnp.zeros((1, 18, 16, 4), jnp.int8)   # 18 % 4 != 0
+    w = jnp.zeros((3, 3, 4, 4), jnp.int8)
+    with pytest.raises(ValueError):
+        spatial_conv2d(x, w, mesh)
