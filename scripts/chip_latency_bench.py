@@ -44,6 +44,41 @@ def main() -> int:
         t = time_scan_fit(body, x, n_short=8, n_long=30)
         print(f"B={B:3d}: {t*1e3:7.3f} ms/step  ({B/t:8.0f} img/s)",
               flush=True)
+
+    # Request-level p50/p99 through the ServingEngine (continuous batching):
+    # 4 client threads push individual images as fast as results come back,
+    # so the scheduler actually packs buckets under contention.
+    import threading
+
+    from qtpu.parallel import make_mesh
+    from qtpu.serve import ServingEngine
+
+    sengine = ServingEngine(
+        None, sv, mesh=make_mesh(dp=1, tp=1, devices=jax.devices()[:1]),
+        batch_buckets=(8, 32), max_wait_ms=2.0,
+        forward_factory=lambda svv: ResNetInt8Engine(svv, arch)._forward)
+    sengine.warmup((224, 224, 3))
+    img = np.random.default_rng(0).normal(
+        size=(224, 224, 3)).astype(np.float32)
+    n_per_client, n_clients = 100, 4
+
+    def client():
+        for _ in range(n_per_client):
+            sengine.submit(img).result()
+
+    threads = [threading.Thread(target=client) for _ in range(n_clients)]
+    t0 = time.monotonic()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wall = time.monotonic() - t0
+    st = sengine.stats()
+    sengine.stop()
+    print(f"serving: {n_clients}x{n_per_client} reqs in {wall:.2f}s  "
+          f"p50={st['p50_ms']:.2f}ms p99={st['p99_ms']:.2f}ms "
+          f"occ={st['mean_occupancy']:.2f} "
+          f"busy_img/s={st['images_per_sec_busy']:.0f}", flush=True)
     return 0
 
 
