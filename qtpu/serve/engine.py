@@ -102,7 +102,9 @@ class ServingEngine:
         self._img_shape: Optional[Tuple[int, ...]] = None
         self._started = time.monotonic()
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._error: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._loop_guarded,
+                                        daemon=True)
         self._thread.start()
 
     # ---- client API -----------------------------------------------------
@@ -110,7 +112,7 @@ class ServingEngine:
     def submit(self, image: np.ndarray) -> Future:
         """Enqueue one image (H, W, C); resolves to its logits."""
         if self._stop.is_set():
-            raise RuntimeError("ServingEngine is stopped")
+            raise RuntimeError("ServingEngine is stopped") from self._error
         fut: Future = Future()
         image = np.asarray(image)
         if self._img_shape is None:
@@ -159,15 +161,36 @@ class ServingEngine:
     def _drain_queue(self) -> None:
         # Requests still queued (or raced past the _stop check in submit)
         # must not leave callers blocked on their futures forever.
+        err = RuntimeError("ServingEngine stopped")
+        if self._error is not None:
+            err.__cause__ = self._error
         while True:
             try:
                 item = self._queue.get_nowait()
             except queue.Empty:
                 break
             if item is not None:
-                item[1].set_exception(RuntimeError("ServingEngine stopped"))
+                item[1].set_exception(err)
 
     # ---- scheduler ------------------------------------------------------
+
+    def _loop_guarded(self) -> None:
+        """Failure detection (SURVEY §5.3): a crash anywhere in the
+        scheduler (device OOM, bad input shape, comm failure) must not
+        leave callers blocked on futures forever — record the error, fail
+        every in-flight and queued future with it, and mark the engine
+        unhealthy so /healthz and submit() surface it."""
+        try:
+            self._loop()
+        except BaseException as e:  # noqa: BLE001 — anything kills serving
+            self._error = e
+            self._stop.set()
+            self._drain_queue()
+
+    @property
+    def healthy(self) -> bool:
+        """False once the scheduler has died or the engine was stopped."""
+        return self._error is None and not self._stop.is_set()
 
     def _bucket_for(self, n: int) -> int:
         for b in self.buckets:
@@ -211,8 +234,15 @@ class ServingEngine:
             pad = np.zeros((b - len(imgs), *imgs.shape[1:]), imgs.dtype)
             imgs = np.concatenate([imgs, pad])
         t_run = time.monotonic()
-        x = jax.device_put(jnp.asarray(imgs), self._x_sharding)
-        out = np.asarray(jax.block_until_ready(self._fwd(self.vars, x)))
+        try:
+            x = jax.device_put(jnp.asarray(imgs), self._x_sharding)
+            out = np.asarray(jax.block_until_ready(self._fwd(self.vars, x)))
+        except BaseException as e:
+            # this batch's futures left the queue — fail them here before the
+            # guarded loop drains the rest
+            for _, fut, _ in batch:
+                fut.set_exception(e)
+            raise
         now = time.monotonic()
         with self._stats_lock:
             self._images += n
@@ -277,9 +307,17 @@ class ServingEngine:
         for i, item in enumerate(batch[:b_local]):
             imgs[i] = item[0]
         t_run = time.monotonic()
-        x = local_batch_to_global(np.asarray(imgs, np.float32),
-                                  self._x_sharding)
-        out_g = jax.block_until_ready(self._fwd(self.vars, x))
+        try:
+            x = local_batch_to_global(np.asarray(imgs, np.float32),
+                                      self._x_sharding)
+            out_g = jax.block_until_ready(self._fwd(self.vars, x))
+        except BaseException as e:
+            for _, fut, _ in batch:
+                fut.set_exception(e)
+            raise
+        # (a host whose forward failed stops participating; peers block at
+        # the next lockstep allgather — recovery is restart-on-failure per
+        # SURVEY §5.3, local callers never hang)
         # fetch only this host's rows (the global array is not addressable)
         shards = sorted(out_g.addressable_shards,
                         key=lambda s: s.index[0].start or 0)

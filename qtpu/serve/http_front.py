@@ -12,7 +12,8 @@ zero deps on either side):
 * ``POST /predict`` — body: one ``.npy`` array of images, (B, H, W, C) or a
   single (H, W, C) image.  Response: ``.npy`` array of logits.
 * ``GET /stats``    — engine metrics as JSON (images/sec, p50/p99, occupancy).
-* ``GET /healthz``  — 200 once the engine thread is live.
+* ``GET /healthz``  — 200 while the engine scheduler is live; 503 after a
+  scheduler crash or stop (``ServingEngine.healthy``).
 
 Client sketch::
 
@@ -54,7 +55,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         if self.path == "/healthz":
-            self._send_json(200, {"ok": True})
+            ok = getattr(self.engine, "healthy", True)
+            self._send_json(200 if ok else 503, {"ok": bool(ok)})
         elif self.path == "/stats":
             self._send_json(200, {k: float(v)
                                   for k, v in self.engine.stats().items()})

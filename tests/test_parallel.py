@@ -1,4 +1,6 @@
 """Mesh/sharding/serving tests on the 8-virtual-device CPU mesh (SURVEY §4.2)."""
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -190,5 +192,34 @@ def test_serving_engine_flat_resnet_forward_tp():
     try:
         out = eng.predict(np.asarray(x))
         np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+    finally:
+        eng.stop()
+
+
+def test_serving_engine_scheduler_crash_fails_futures(frozen_lenet):
+    """Failure detection (SURVEY §5.3): a forward that throws must fail the
+    in-flight and queued futures, mark the engine unhealthy, and make later
+    submits raise — never leave callers blocked forever."""
+    sm, sv, x = frozen_lenet
+
+    def boom(_v, _x):
+        raise RuntimeError("device exploded")
+
+    eng = ServingEngine(sm, sv, mesh=make_mesh(dp=1, tp=1,
+                                               devices=jax.devices()[:1]),
+                        batch_buckets=(1, 2), max_wait_ms=1.0,
+                        forward_fn=boom)
+    try:
+        assert eng.healthy
+        futs = [eng.submit(np.asarray(x[i])) for i in range(3)]
+        for f in futs:
+            with pytest.raises(RuntimeError):
+                f.result(timeout=60)
+        deadline = time.monotonic() + 30
+        while eng.healthy and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert not eng.healthy
+        with pytest.raises(RuntimeError):
+            eng.submit(np.asarray(x[0]))
     finally:
         eng.stop()
