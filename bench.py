@@ -15,7 +15,6 @@ separately (qtpu.examples / tests).
 """
 import json
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 

@@ -18,8 +18,7 @@ can only validate correctness of that path, not overlap — flagged in output.
 """
 from __future__ import annotations
 
-import json
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

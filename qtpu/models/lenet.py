@@ -9,7 +9,6 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from qtpu.nn import QuantConv, QuantDense, QuantPolicy

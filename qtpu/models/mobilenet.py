@@ -8,7 +8,7 @@ on the serving path (SURVEY.md §2.2).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

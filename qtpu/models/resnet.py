@@ -11,7 +11,6 @@ first/last-layer exclusion is ``exclude=("stem*", "fc")``.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax

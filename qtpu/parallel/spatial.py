@@ -27,7 +27,6 @@ the local H divides the stride (true for every ResNet/MobileNet stage at
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from qtpu.bench.profile import annotate
 from qtpu.ops import qops
-from qtpu.serve.fused_ops import (Grid, conv_xla, dequant, gemm_1x1, grid_of,
+from qtpu.serve.fused_ops import (Grid, conv_xla, gemm_1x1, grid_of,
                                   unpacked_kernel)
 
 Array = jax.Array

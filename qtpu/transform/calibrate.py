@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
-from flax.core import freeze, unfreeze
+from flax.core import unfreeze
 
 from qtpu.calib.kl import kl_threshold
 from qtpu.nn.act_quant import PARAMS_COL, STATS_COL
