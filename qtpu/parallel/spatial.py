@@ -138,3 +138,38 @@ def spatial_conv2d(x: Array, w: Array, mesh: Mesh, *,
     spec = P(DATA_AXIS if DATA_AXIS in mesh.shape else None, SPATIAL_AXIS)
     return jax.shard_map(local, mesh=mesh, in_specs=(spec, P()),
                          out_specs=spec)(x, w)
+
+
+def spatial_max_pool(x: Array, mesh: Mesh, *, window: Tuple[int, int] = (3, 3),
+                     strides: Tuple[int, int] = (2, 2)) -> Array:
+    """SAME max-pool over H-sharded NHWC activations (halo exchange).
+
+    The ResNet stem's 3×3/2 max-pool, spatially sharded: same halo geometry
+    as :func:`spatial_conv2d`, but the pad/halo fill is the reduction
+    identity (dtype min) rather than the conv zero point — XLA's SAME
+    pooling semantics exactly.
+    """
+    n = mesh.shape[SPATIAL_AXIS]
+    B, H, W, _ = x.shape
+    kh, kw = window
+    if H % n or (H // n) % strides[0]:
+        raise ValueError(f"H={H} not partitionable by sp={n} at row stride "
+                         f"{strides[0]}")
+    (plo, phi_pad), (wlo, whi) = same_pads((H, W), window, strides)
+    phi = max(kh - strides[0] - plo, 0)
+    if phi != phi_pad:
+        raise ValueError(f"unsupported pool geometry (H={H}, kh={kh}, "
+                         f"s={strides[0]})")
+    ident = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+             else jnp.iinfo(x.dtype).min)
+    ident = jnp.asarray(ident, x.dtype)
+
+    def local(xl: Array) -> Array:
+        xl = _halo_pad_h(xl, plo, phi, axis=SPATIAL_AXIS, n=n, pad_val=ident)
+        return jax.lax.reduce_window(
+            xl, ident, jax.lax.max, (1, kh, kw, 1), (1, *strides, 1),
+            ((0, 0), (0, 0), (wlo, whi), (0, 0)))
+
+    spec = P(DATA_AXIS if DATA_AXIS in mesh.shape else None, SPATIAL_AXIS)
+    return jax.shard_map(local, mesh=mesh, in_specs=(spec,),
+                         out_specs=spec)(x)

@@ -80,3 +80,43 @@ def test_spatial_rejects_bad_geometry():
     w = jnp.zeros((3, 3, 4, 4), jnp.int8)
     with pytest.raises(ValueError):
         spatial_conv2d(x, w, mesh)
+
+
+def test_spatial_max_pool_and_stem_chain():
+    """Full spatially-sharded ResNet stem: 7x7/2 conv -> 3x3/2 max-pool ->
+    3x3 conv, every op H-sharded end to end, vs the single-device oracle."""
+    from qtpu.parallel.spatial import spatial_max_pool
+
+    k1, k2, k3 = jax.random.split(KEY, 3)
+    x = _int8(k1, (2, 64, 64, 3))
+    w1 = _int8(k2, (7, 7, 3, 8))
+    w2 = _int8(k3, (3, 3, 8, 8))
+
+    def requant(acc):
+        return jnp.clip(acc // 256, -128, 127).astype(jnp.int8)
+
+    ref = requant(qops.qconv2d(x, w1, strides=(2, 2)))
+    ref_pool = jax.lax.reduce_window(
+        ref, jnp.asarray(-128, jnp.int8), jax.lax.max,
+        (1, 3, 3, 1), (1, 2, 2, 1), ((0, 0), (0, 1), (0, 1), (0, 0)))
+    ref_out = qops.qconv2d(ref_pool, w2)
+
+    mesh = make_spatial_mesh(sp=4, dp=2)
+    xs = jax.device_put(x, spatial_sharding(mesh))
+    y = requant(spatial_conv2d(xs, w1, mesh, strides=(2, 2)))
+    y = spatial_max_pool(y, mesh)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref_pool))
+    y = spatial_conv2d(y, w2, mesh)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref_out))
+
+
+def test_spatial_max_pool_fp32():
+    from qtpu.parallel.spatial import spatial_max_pool
+
+    x = jax.random.normal(KEY, (2, 32, 32, 4))
+    ref = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (0, 1), (0, 1), (0, 0)))
+    mesh = make_spatial_mesh(sp=8, dp=1)
+    y = spatial_max_pool(jax.device_put(x, spatial_sharding(mesh)), mesh)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
