@@ -36,16 +36,19 @@ import numpy as np
 _COLL = r"(?:all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
 
 
-def aot_topology_mesh(topology: str = "v5e:2x2x1", dp: int = 2, tp: int = 2):
-    """('data','model') Mesh over an AOT TopologyDescription's devices."""
+def aot_topology_mesh(topology: str = "v5e:2x2x1", dp: int = 2, tp: int = 2,
+                      axes=("data", "model")):
+    """Mesh over an AOT TopologyDescription's devices (default 2×2 DP×TP)."""
     from jax.experimental import topologies
     from jax.sharding import Mesh
 
     topo = topologies.get_topology_desc(platform="tpu",
                                         topology_name=topology)
     devs = np.array(topo.devices)
+    if len(axes) == 1:
+        return Mesh(devs.reshape(-1), axes)
     assert devs.size == dp * tp, (devs.size, dp, tp)
-    return Mesh(devs.reshape(dp, tp), ("data", "model"))
+    return Mesh(devs.reshape(dp, tp), axes)
 
 
 def compile_tp_serve(model_name: str = "resnet18", batch: int = 64,
@@ -79,10 +82,65 @@ def compile_tp_serve(model_name: str = "resnet18", batch: int = 64,
     return jax.jit(sm.apply).lower(sv_shaped, x_shaped).compile().as_text()
 
 
+def compile_spatial_chain(topology: str = "v5e:2x2x1", batch: int = 8,
+                          image: int = 224) -> str:
+    """AOT-compile the spatially-sharded int8 stem chain; return HLO.
+
+    Halo exchanges lower to ``collective-permute`` over the 'spatial' axis —
+    the report shows them as point-to-point ICI transfers (a handful of rows
+    each), NOT all-gathers of the activation.
+    """
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qtpu.parallel.spatial import (spatial_conv2d, spatial_max_pool,
+                                       spatial_sharding)
+
+    mesh = aot_topology_mesh(topology, dp=2, tp=2, axes=("data", "spatial"))
+
+    def fwd(x, w1, w2):
+        y = spatial_conv2d(x, w1, mesh, strides=(2, 2))
+        y = jnp.clip(y // 256, -128, 127).astype(jnp.int8)
+        y = spatial_max_pool(y, mesh)
+        return spatial_conv2d(y, w2, mesh)
+
+    rep = NamedSharding(mesh, P())
+    x = jax.ShapeDtypeStruct((batch, image, image, 3), np.int8,
+                             sharding=spatial_sharding(mesh))
+    w1 = jax.ShapeDtypeStruct((7, 7, 3, 64), np.int8, sharding=rep)
+    w2 = jax.ShapeDtypeStruct((3, 3, 64, 64), np.int8, sharding=rep)
+    return jax.jit(fwd).lower(x, w1, w2).compile().as_text()
+
+
+def compile_pipeline(topology: str = "v5e:2x2x1", n_micro: int = 8,
+                     d: int = 512) -> str:
+    """AOT-compile the GPipe pipeline program (4 stages over the slice)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qtpu.ops import qops
+    from qtpu.parallel.pipeline import pipeline_apply, stage_sharding
+
+    mesh = aot_topology_mesh(topology, axes=("pipe",))
+    n = mesh.shape["pipe"]
+
+    def stage(w, xq):
+        return jnp.clip(qops.qmatmul(xq, w) // 64, -128, 127).astype(jnp.int8)
+
+    def fwd(ws, xm):
+        return pipeline_apply(stage, ws, xm, mesh)
+
+    ws = jax.ShapeDtypeStruct((n, d, d), np.int8,
+                              sharding=stage_sharding(mesh))
+    xm = jax.ShapeDtypeStruct((n_micro, 8, d), np.int8,
+                              sharding=NamedSharding(mesh, P()))
+    return jax.jit(fwd).lower(ws, xm).compile().as_text()
+
+
 def collective_report(hlo: str) -> Dict[str, Any]:
     """Parse optimized HLO into the overlap-evidence summary."""
     lines = hlo.splitlines()
-    colls = Counter(re.findall(rf"\b({_COLL})\b(?=\()", hlo))
+    colls = Counter(re.findall(rf"\b({_COLL})(?:-start)?\(", hlo))
     emitters = Counter(re.findall(r'"emitter":"(\w+)"', hlo))
     strategies = Counter(re.findall(r'"strategy":"(\w+)"', hlo))
     pairs = []
@@ -116,7 +174,12 @@ def main(argv: Optional[list] = None) -> int:
     model = argv[0] if argv else "resnet18"
     batch = int(argv[1]) if len(argv) > 1 else 64
     topology = argv[2] if len(argv) > 2 else "v5e:2x2x1"
-    hlo = compile_tp_serve(model, batch, aot_topology_mesh(topology))
+    if model == "spatial":
+        hlo = compile_spatial_chain(topology, batch)
+    elif model == "pipeline":
+        hlo = compile_pipeline(topology, batch)
+    else:
+        hlo = compile_tp_serve(model, batch, aot_topology_mesh(topology))
     path = f"/tmp/qtpu_overlap_{model}_{topology.replace(':', '_')}.hlo"
     with open(path, "w") as f:
         f.write(hlo)
