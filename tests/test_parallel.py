@@ -144,9 +144,25 @@ def test_collective_report_parses_async_pairs():
         "%ar = bf16[8]{0} all-reduce(%conv), to_apply=%add",
     ])
     rep = collective_report(hlo)
-    assert rep["collectives"] == {"all-reduce": 1}
+    # async -start forms count too (a hidden all-gather is still a collective)
+    assert rep["collectives"] == {"all-gather": 1, "all-reduce": 1}
     assert rep["async_pairs"] == 1
     assert rep["async_pairs_with_compute_between"] == 1
+
+
+def test_collective_report_counts_permutes():
+    """The spatial/pipeline programs emit collective-permute(-start)s."""
+    from qtpu.bench.overlap import collective_report
+
+    hlo = "\n".join([
+        "%cp-start = s8[2]{0} collective-permute-start(%p0)",
+        "%f = s8[2]{0} fusion(%x), kind=kLoop, calls=%c",
+        "%cp-done = s8[2]{0} collective-permute-done(%cp-start)",
+        "%cp2 = s8[2]{0} collective-permute(%f)",
+    ])
+    rep = collective_report(hlo)
+    assert rep["collectives"] == {"collective-permute": 2}
+    assert rep["async_pairs"] == 1
 
 
 def test_virtual_mesh_tp_serve_emits_collectives(frozen_lenet):
