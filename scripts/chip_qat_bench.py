@@ -1,0 +1,64 @@
+"""On-chip QAT train-step throughput: ResNet-50 INT8 fake-quant training.
+
+The serving numbers are covered by bench.py; this measures the *training*
+half of the workload (the reference's main use case — SURVEY §3.3): the full
+jitted QAT step (fake-quant forward with EMA observers + fake-BN, STE
+backward, adamw update) vs the plain fp32 step, same process, slope-fit.
+The gap is the fake-quant overhead a QAT user pays per step.
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from qtpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from qtpu.bench.timing import time_scan_fit
+from qtpu.models import get_model
+from qtpu.nn import QuantPolicy
+from qtpu.train import create_train_state, make_train_step
+from qtpu.transform import convert_model
+
+KEY = jax.random.PRNGKey(0)
+
+
+def bench_step(model, batch):
+    tx = optax.adamw(1e-3)
+    x0 = jax.random.normal(KEY, (batch, 224, 224, 3))
+    y0 = jnp.zeros((batch,), jnp.int32)
+    state = create_train_state(model, KEY, x0[:2], tx)
+    step = make_train_step(model, tx)
+
+    # the train state is the scan carry: every param/opt-state/BN/observer
+    # update stays live (nothing for XLA to dead-code-eliminate) — this
+    # times real sequential training steps.
+    def body(s, x):
+        s2, _ = step(s, x, y0)
+        return s2
+
+    t = time_scan_fit(body, state, x0, n_short=4, n_long=12)
+    return batch / t
+
+
+def main() -> int:
+    for label, model in (
+        ("fp32", get_model("resnet50", num_classes=1000, cifar_stem=False)),
+        ("int8 QAT (EMA+fakeBN+STE)",
+         convert_model(get_model("resnet50", num_classes=1000,
+                                 cifar_stem=False),
+                       QuantPolicy.int8_qat())),
+    ):
+        for batch in (64,):
+            rate = bench_step(model, batch)
+            print(f"{label:28s} B={batch}: {rate:7.0f} img/s (train)",
+                  flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
