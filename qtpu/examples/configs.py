@@ -26,6 +26,7 @@ class ExperimentConfig:
     per_channel: bool = True
     act_observer: str = "minmax"  # minmax | ema | kl | pact
     fold_bn: bool = True
+    fake_bn: str = "exact"        # 'exact' | 'approx' (QAT fake-BN scheme)
     exclude: Tuple[str, ...] = ()
     cifar_stem: bool = False
     # training / calibration budget (sized for the offline synthetic data;
@@ -47,7 +48,7 @@ class ExperimentConfig:
         mode = {"ptq": QuantMode.QUANT, "qat": QuantMode.QUANT_EMA,
                 "online": QuantMode.QUANT_ONLINE}[self.method]
         return QuantPolicy(default=spec, mode=mode, fold_bn=self.fold_bn,
-                           exclude=self.exclude)
+                           fake_bn=self.fake_bn, exclude=self.exclude)
 
 
 CONFIGS = {

@@ -91,6 +91,21 @@ class QuantPolicy:
     overrides: Tuple[Tuple[str, LayerQuantSpec], ...] = ()
     mode: QuantMode = QuantMode.QUANT_ONLINE
     fold_bn: bool = True              # fold BN into conv for the quantized path
+    # QAT-time fake-BN scheme (only consulted when fold_bn and training):
+    #  'exact'  — fp32 statistics conv + batch-σ fold (Krishnamoorthi form (b),
+    #             SURVEY.md §2.1): bit-faithful folded numerics, but a second
+    #             full conv in forward AND backward (~2x conv cost).
+    #  'approx' — single conv with weights folded by *running* stats, output
+    #             rescaled by the fold factor, then batch-stat BN on top (the
+    #             production QAT scheme, e.g. torch ConvBn2d's approximate
+    #             forward): same folded-quant noise model to first order at
+    #             half the conv count (measured speedup recorded in
+    #             BASELINE.md via scripts/chip_qat_bench.py).
+    fake_bn: str = "exact"
+
+    def __post_init__(self):
+        if self.fake_bn not in ("exact", "approx"):
+            raise ValueError(f"unknown fake_bn scheme {self.fake_bn!r}")
 
     def spec_for(self, path: str) -> Optional[LayerQuantSpec]:
         """Spec for the layer at ``path``, or None if excluded / policy off."""

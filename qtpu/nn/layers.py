@@ -274,9 +274,32 @@ class ConvBN(nn.Module):
 
         xq = ActQuant(spec, mode, name="in_q")(x)
 
-        if fold:
+        approx = (self.quant is not None and self.quant.fake_bn == "approx")
+        if fold and train and approx:
+            # Approximate fake BN (single conv — the production QAT scheme,
+            # e.g. torch ConvBn2d's approximate forward): fold by *running*
+            # stats, un-scale the conv output to recover ≈conv(xq, W_q·σ/γ),
+            # then a standard batch-stat BN supplies normalization + stats
+            # updates.  Same folded-weight quantization noise to first order
+            # as the exact scheme below, at half the conv count in both
+            # forward and backward.
+            sigma_r = jnp.sqrt(rvar.value + BN_EPS)
+            factor = gamma / sigma_r                   # broadcast over O axis
+            w = _maybe_quant_weight(kernel * factor, spec, mode, channel_axis=3)
+            safe = jnp.where(factor == 0.0, jnp.ones_like(factor), factor)
+            y = self._conv(xq, w) / safe
+            bmean = jnp.mean(y, axis=(0, 1, 2))
+            bvar = jnp.var(y, axis=(0, 1, 2))
+            if stats_mutable:
+                m = BN_MOMENTUM
+                rmean.value = m * rmean.value + (1 - m) * bmean
+                rvar.value = m * rvar.value + (1 - m) * bvar
+            y = (y - bmean) / jnp.sqrt(bvar + BN_EPS) * gamma + beta
+        elif fold:
             if train:
-                # QAT fake BN: fp32 statistics conv on the *unquantized* input.
+                # Exact QAT fake BN (Krishnamoorthi form (b)): fp32 statistics
+                # conv on the *unquantized* input supplies batch stats; the
+                # quantized conv runs with batch-σ-folded weights.
                 y_fp = self._conv(x, kernel)
                 bmean = jnp.mean(y_fp, axis=(0, 1, 2))
                 bvar = jnp.var(y_fp, axis=(0, 1, 2))

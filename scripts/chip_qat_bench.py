@@ -41,17 +41,25 @@ def bench_step(model, batch):
         s2, _ = step(s, x, y0)
         return s2
 
-    t = time_scan_fit(body, state, x0, n_short=4, n_long=12)
+    # n_long-n_short must put the slope well above the tunnel's launch-time
+    # noise (measured up to ~±0.5 s/call on busy days, with a fixed per-call
+    # overhead that reached ~14 s on 2026-08-18 — slope-fit cancels the
+    # fixed part, the spread must out-scale the noise).
+    t = time_scan_fit(body, state, x0, n_short=4, n_long=20)
     return batch / t
 
 
 def main() -> int:
     for label, model in (
         ("fp32", get_model("resnet50", num_classes=1000, cifar_stem=False)),
-        ("int8 QAT (EMA+fakeBN+STE)",
+        ("int8 QAT exact fake-BN",
          convert_model(get_model("resnet50", num_classes=1000,
                                  cifar_stem=False),
                        QuantPolicy.int8_qat())),
+        ("int8 QAT approx fake-BN",
+         convert_model(get_model("resnet50", num_classes=1000,
+                                 cifar_stem=False),
+                       QuantPolicy.int8_qat(fake_bn="approx"))),
     ):
         for batch in (64,):
             rate = bench_step(model, batch)

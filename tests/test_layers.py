@@ -169,6 +169,67 @@ class TestConvBNFolding:
         after = mut["batch_stats"]["mean"]
         assert float(jnp.max(jnp.abs(after - before))) > 1e-3
 
+    def test_approx_fake_bn_equals_unfolded_without_quant(self):
+        """fake_bn='approx' with quantization disabled ≡ plain conv→BN train.
+
+        With identity fake-quant the approx scheme is algebraically
+        conv(x, W·f)/f → BN_batch == conv(x, W) → BN_batch (f is a per-channel
+        scalar); only fp32 reassociation separates them.
+        """
+        m, v, x = self._setup()
+        y_ref, mut_ref = jax.jit(lambda v, x: m.apply(
+            v, x, train=True, mutable=["batch_stats"]))(v, x)
+        spec = LayerQuantSpec(quantize_weights=False, quantize_acts=False)
+        ma = m.clone(quant=QuantPolicy(default=spec, mode=QuantMode.QUANT,
+                                       fold_bn=True, fake_bn="approx"))
+        va = {**jax.jit(ma.init, static_argnames="train")(KEY, x, train=True),
+              **v}
+        y_a, mut_a = jax.jit(lambda v, x: ma.apply(
+            v, x, train=True, mutable=["batch_stats"]))(va, x)
+        np.testing.assert_allclose(np.asarray(y_a), np.asarray(y_ref),
+                                   atol=1e-4, rtol=1e-4)
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(mut_a["batch_stats"][k]),
+                np.asarray(mut_ref["batch_stats"][k]), atol=1e-4, rtol=1e-4)
+
+    def test_approx_fake_bn_close_to_exact_under_int8(self):
+        """The approx and exact fake-BN schemes agree to quant-noise order."""
+        m, v, x = self._setup()
+
+        def run(fake_bn):
+            mq = m.clone(quant=_policy(mode=QuantMode.QUANT_ONLINE,
+                                       fake_bn=fake_bn))
+            vq = {**jax.jit(mq.init, static_argnames="train")(
+                KEY, x, train=True), **v}
+            y, _ = jax.jit(lambda v, x: mq.apply(
+                v, x, train=True,
+                mutable=["batch_stats", "quant_stats"]))(vq, x)
+            return y
+
+        y_exact, y_approx = run("exact"), run("approx")
+        rel = float(jnp.linalg.norm(y_exact - y_approx)
+                    / jnp.linalg.norm(y_exact))
+        assert rel < 0.1, f"approx vs exact fake-BN rel error {rel}"
+
+    def test_approx_fake_bn_grads_and_stats(self):
+        """approx fake-BN: grads reach fp32 masters; running stats update."""
+        x = jax.random.normal(KEY, (4, 8, 8, 4)) * 2 + 1
+        m = qnn.ConvBN(8, (3, 3), quant=_policy(mode=QuantMode.QUANT_ONLINE,
+                                                fake_bn="approx"))
+        v = jax.jit(m.init, static_argnames="train")(KEY, x, train=True)
+
+        def loss(params):
+            y, mut = m.apply({**v, "params": params}, x, train=True,
+                             mutable=["batch_stats", "quant_stats"])
+            return jnp.sum(y ** 2), mut
+
+        (g, mut) = jax.jit(jax.grad(loss, has_aux=True))(v["params"])
+        assert float(jnp.linalg.norm(g["kernel"])) > 0
+        assert float(jnp.linalg.norm(g["scale"])) > 0
+        drift = mut["batch_stats"]["mean"] - v["batch_stats"]["mean"]
+        assert float(jnp.max(jnp.abs(drift))) > 1e-3
+
     def test_fake_bn_grads_flow_to_master_weights(self):
         """STE: gradients reach the fp32 kernel through the folded+quantized path."""
         x = jax.random.normal(KEY, (4, 8, 8, 4))
