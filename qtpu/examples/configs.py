@@ -27,6 +27,7 @@ class ExperimentConfig:
     act_observer: str = "minmax"  # minmax | ema | kl | pact
     fold_bn: bool = True
     fake_bn: str = "exact"        # 'exact' | 'approx' (QAT fake-BN scheme)
+    qat_forward: str = "sim"      # 'sim' | 'int' (QAT conv engine)
     exclude: Tuple[str, ...] = ()
     cifar_stem: bool = False
     # training / calibration budget (sized for the offline synthetic data;
@@ -48,7 +49,8 @@ class ExperimentConfig:
         mode = {"ptq": QuantMode.QUANT, "qat": QuantMode.QUANT_EMA,
                 "online": QuantMode.QUANT_ONLINE}[self.method]
         return QuantPolicy(default=spec, mode=mode, fold_bn=self.fold_bn,
-                           fake_bn=self.fake_bn, exclude=self.exclude)
+                           fake_bn=self.fake_bn, qat_forward=self.qat_forward,
+                           exclude=self.exclude)
 
 
 CONFIGS = {

@@ -29,10 +29,19 @@ PARAMS_COL = "quant_params"
 
 
 class ActQuant(nn.Module):
-    """Quantizes (or observes) the input activation of one layer."""
+    """Quantizes (or observes) the input activation of one layer.
+
+    ``emit_qparams=True`` (integer-forward QAT, ``qtpu.ops.qat_int``): run the
+    same observer updates but return the layer's live ``(scale, zp)`` grid
+    instead of the fake-quantized tensor, so the consumer can quantize to real
+    int8 codes itself.  The variable structure is identical either way, so
+    checkpoints restore across the sim/int switch.  Only valid in quantizing
+    modes (and not for PACT, whose learnable α needs the fake-quant gradient).
+    """
 
     spec: Optional[LayerQuantSpec]
     mode: QuantMode = QuantMode.OFF
+    emit_qparams: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -94,6 +103,21 @@ class ActQuant(nn.Module):
             return x
 
         # --- quantizing modes: pick (scale, zp) ---
+        if self.emit_qparams:
+            if alpha is not None:
+                raise ValueError("emit_qparams is unavailable for PACT specs")
+            if self.mode == QuantMode.QUANT_ONLINE:
+                return self._qparams(jnp.min(x), jnp.max(x), spec)
+            if self.mode == QuantMode.QUANT_EMA:
+                if mutable:
+                    new = obs.ema_update(state, x, spec.ema_momentum)
+                    vmin.value, vmax.value, vcount.value = (
+                        new["min"], new["max"], new["count"])
+                    state = new
+                return self._qparams(state["min"], state["max"], spec)
+            if self.mode == QuantMode.QUANT:
+                return vscale.value, vzp.value
+            raise ValueError(f"emit_qparams unsupported in mode {self.mode}")
         if alpha is not None and self.mode in (QuantMode.QUANT_ONLINE,
                                                QuantMode.QUANT_EMA):
             # training-time PACT: clip to the live α (α gradient via clip)

@@ -102,10 +102,20 @@ class QuantPolicy:
     #             half the conv count (measured speedup recorded in
     #             BASELINE.md via scripts/chip_qat_bench.py).
     fake_bn: str = "exact"
+    # QAT forward engine for conv layers:
+    #  'sim' — fp32/bf16 conv of the dequantized fake-quant values (the
+    #          reference's simulation, SURVEY.md §3.3).
+    #  'int' — the same math on the int8 MXU path (qtpu.ops.qat_int): exact
+    #          integer accumulation, 2x MXU rate, int8 saved residuals for
+    #          the backward.  Falls back to 'sim' per layer for clip-STE or
+    #          PACT specs (they need gradient masks the int path drops).
+    qat_forward: str = "sim"
 
     def __post_init__(self):
         if self.fake_bn not in ("exact", "approx"):
             raise ValueError(f"unknown fake_bn scheme {self.fake_bn!r}")
+        if self.qat_forward not in ("sim", "int"):
+            raise ValueError(f"unknown qat_forward {self.qat_forward!r}")
 
     def spec_for(self, path: str) -> Optional[LayerQuantSpec]:
         """Spec for the layer at ``path``, or None if excluded / policy off."""

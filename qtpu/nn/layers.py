@@ -31,6 +31,7 @@ from flax import linen as nn
 from qtpu.nn.act_quant import ActQuant
 from qtpu.nn.config import LayerQuantSpec, QuantMode, QuantPolicy
 from qtpu.ops import fakequant as fq
+from qtpu.ops import qat_int
 from qtpu.ops import qops
 
 Array = jax.Array
@@ -59,6 +60,36 @@ def _maybe_quant_weight(w: Array, spec: Optional[LayerQuantSpec],
         w, bits=spec.w_bits,
         channel_axis=channel_axis if spec.per_channel else None,
         ste=spec.ste)
+
+
+def _quant_conv_fn(mod, x: Array, spec, mode, *, strides, padding, groups):
+    """Build ``quant_conv(w_fp32) -> conv output`` for a conv-like module.
+
+    Chooses between the fp32 fake-quant simulation and the integer-forward
+    path (``qtpu.ops.qat_int``, policy ``qat_forward='int'``).  Either way the
+    ActQuant submodule is named ``in_q`` with identical variable structure,
+    so checkpoints restore across the switch.
+    """
+    use_int = (mod.quant is not None and mod.quant.qat_forward == "int"
+               and qat_int.int_forward_ok(spec, mode))
+    if use_int:
+        scale, zp = ActQuant(spec, mode, emit_qparams=True, name="in_q")(x)
+
+        def quant_conv(w: Array) -> Array:
+            return qat_int.qat_int_conv(
+                x, w, scale, zp, a_bits=spec.a_bits, w_bits=spec.w_bits,
+                per_channel=spec.per_channel,
+                act_symmetric=spec.act_symmetric, strides=strides,
+                padding=padding, groups=groups)
+
+        return quant_conv
+    xq = ActQuant(spec, mode, name="in_q")(x)
+
+    def quant_conv(w: Array) -> Array:
+        return mod._conv(xq, _maybe_quant_weight(w, spec, mode,
+                                                 channel_axis=3))
+
+    return quant_conv
 
 
 def _serve_vars(mod: nn.Module, spec: LayerQuantSpec, kshape: Tuple[int, ...],
@@ -181,19 +212,22 @@ class QuantConv(nn.Module):
             return _serve_epilogue(acc, sv, spec)
         kernel = self.param("kernel", nn.initializers.he_normal(),
                             kshape, jnp.float32)
-        x = ActQuant(spec, mode, name="in_q")(x)
-        w = _maybe_quant_weight(kernel, spec, mode, channel_axis=3)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), w.astype(self.dtype),
-            window_strides=self.strides, padding=self.padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.groups, precision=self.precision,
-            preferred_element_type=jnp.float32)
+        quant_conv = _quant_conv_fn(self, x, spec, mode, strides=self.strides,
+                                    padding=self.padding, groups=self.groups)
+        y = quant_conv(kernel)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,),
                            jnp.float32)
             y = y + b
         return y
+
+    def _conv(self, x: Array, w: Array) -> Array:
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=self.strides, padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups, precision=self.precision,
+            preferred_element_type=jnp.float32)
 
 
 class ConvBN(nn.Module):
@@ -253,9 +287,11 @@ class ConvBN(nn.Module):
         if not self.use_bn:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               jnp.float32)
-            x = ActQuant(spec, mode, name="in_q")(x)
-            w = _maybe_quant_weight(kernel, spec, mode, channel_axis=3)
-            y = self._conv(x, w) + bias
+            quant_conv = _quant_conv_fn(self, x, spec, mode,
+                                        strides=self.strides,
+                                        padding=self.padding,
+                                        groups=self.groups)
+            y = quant_conv(kernel) + bias
             return self.act(y) if self.act else y
 
         gamma = self.param("scale", nn.initializers.ones, (self.features,),
@@ -272,7 +308,8 @@ class ConvBN(nn.Module):
         fold = (spec is not None and mode.quantizes
                 and self.quant is not None and self.quant.fold_bn)
 
-        xq = ActQuant(spec, mode, name="in_q")(x)
+        quant_conv = _quant_conv_fn(self, x, spec, mode, strides=self.strides,
+                                    padding=self.padding, groups=self.groups)
 
         approx = (self.quant is not None and self.quant.fake_bn == "approx")
         if fold and train and approx:
@@ -285,9 +322,8 @@ class ConvBN(nn.Module):
             # forward and backward.
             sigma_r = jnp.sqrt(rvar.value + BN_EPS)
             factor = gamma / sigma_r                   # broadcast over O axis
-            w = _maybe_quant_weight(kernel * factor, spec, mode, channel_axis=3)
             safe = jnp.where(factor == 0.0, jnp.ones_like(factor), factor)
-            y = self._conv(xq, w) / safe
+            y = quant_conv(kernel * factor) / safe
             bmean = jnp.mean(y, axis=(0, 1, 2))
             bvar = jnp.var(y, axis=(0, 1, 2))
             if stats_mutable:
@@ -313,11 +349,9 @@ class ConvBN(nn.Module):
             sigma = jnp.sqrt(var + BN_EPS)
             w_fold = kernel * (gamma / sigma)          # broadcast over O axis
             b_fold = beta - gamma * mean / sigma
-            w = _maybe_quant_weight(w_fold, spec, mode, channel_axis=3)
-            y = self._conv(xq, w) + b_fold
+            y = quant_conv(w_fold) + b_fold
         else:
-            w = _maybe_quant_weight(kernel, spec, mode, channel_axis=3)
-            y = self._conv(xq, w)
+            y = quant_conv(kernel)
             if train:
                 bmean = jnp.mean(y, axis=(0, 1, 2))
                 bvar = jnp.var(y, axis=(0, 1, 2))
