@@ -36,6 +36,7 @@ from qtpu.nn.layers import BN_EPS
 from qtpu.ops import qops
 from qtpu.ops.pallas.qblock import block_coeffs, qbottleneck_fused
 from qtpu.ops.pallas.qproj import proj_coeffs, qproj2d_fused
+from qtpu.ops.pallas.qstage import qstage_fused, stage_coeffs
 from qtpu.ops.pallas.qtail import qtail_fused, tail_coeffs
 from qtpu.serve.fused_ops import (Grid,
                                   conv_xla as _fused_conv,
@@ -76,7 +77,10 @@ class ResNetInt8Engine:
                  use_qtail: Optional[bool] = None,
                  qtail_interpret: bool = False,
                  use_qproj: Optional[bool] = None,
-                 qproj_stages: Optional[Tuple[int, ...]] = None):
+                 qproj_stages: Optional[Tuple[int, ...]] = None,
+                 use_qstage: Optional[bool] = None,
+                 qstage_stages: Optional[Tuple[int, ...]] = None,
+                 qstage_interpret: bool = False):
         self.qw = variables["qweights"]
         # fp32 params/batch-stats: only consulted for *excluded* layers
         # (config 5 excludes stem*/fc — SURVEY.md §1.2 canonical first/last
@@ -151,6 +155,22 @@ class ResNetInt8Engine:
         self._qblock_prep: Dict[str, Dict[str, Array]] = {}
         if self.use_qblock:
             self._prepare_qblocks()
+        # use_qstage: run each stage's WHOLE identity-block chain as ONE
+        # Pallas kernel (qtpu.ops.pallas.qstage) — the pure-2-D chained form
+        # both round-2 findings point at: zero Mosaic layout casts (the 3x3
+        # is nine row-shifted GEMMs) and the custom-call residency penalty
+        # amortized over the chain.  Bit-identical to the per-block XLA
+        # sequence (tests/test_pallas_qstage.py); on-chip numbers in
+        # scripts/chip_qstage_bench.py.
+        if use_qstage is None:
+            use_qstage = False
+        self.use_qstage = use_qstage and self.arch.get("bottleneck", True)
+        self.qstage_stages = ((0, 1, 2, 3) if qstage_stages is None
+                              else tuple(qstage_stages))
+        self.qstage_interpret = qstage_interpret
+        self._qstage_prep: Dict[int, Dict[str, Any]] = {}
+        if self.use_qstage:
+            self._prepare_qstages()
         # Excluded stem/fc run in fp32 inside the flat engine (BN folded with
         # running stats — same fold freeze applies to quantized ConvBNs).
         self._stem_fp32 = (self._fold_fp32("stem")
@@ -327,6 +347,64 @@ class ResNetInt8Engine:
                 w1=w1.reshape(cin, cmid), w2=w2.reshape(kh * kw, cmid, cmid),
                 w3=w3.reshape(cmid, cin))
 
+    def _prepare_qstages(self) -> None:
+        """Stack each stage's identity-run weights/coeffs for qstage_fused.
+
+        Stage i qualifies when every identity block (j >= 1) is a frozen
+        3x3 bottleneck on affine grids and the grid AFTER the run (next
+        stage's conv1, or fc for the last stage) is affine too — the same
+        dispatch rule as qblock, applied to the whole chain.
+        """
+        sizes = self.arch["stage_sizes"]
+        for i, n in enumerate(sizes):
+            if n < 2 or i not in self.qstage_stages:
+                continue
+            if i + 1 < len(sizes):
+                tgt_node = self._node(f"layer{i + 2}_0", "conv1")
+            else:
+                tgt_node = self._node("fc")
+            if tgt_node is None:
+                continue                      # excluded consumer: f32 out
+            tgt = _grid_of(tgt_node)
+            if tgt[2]:
+                continue                      # symmetric grid: unfused path
+            blocks = []
+            ok = True
+            for j in range(1, n):
+                cs = tuple(self._node(f"layer{i + 1}_{j}", k)
+                           for k in ("conv1", "conv2", "conv3"))
+                if (any(c is None for c in cs)
+                        or self._node(f"layer{i + 1}_{j}", "down") is not None
+                        or any(_grid_of(c)[2] for c in cs)):
+                    ok = False
+                    break
+                blocks.append(cs)
+            if not ok:
+                continue
+            w2s = [_unpacked_kernel(c2) for _, c2, _ in blocks]
+            if any(w.shape[:2] != (3, 3) for w in w2s):
+                continue
+            cin = _unpacked_kernel(blocks[0][0]).shape[-2]
+            cmid = w2s[0].shape[-1]
+            self._qstage_prep[i] = dict(
+                nrun=n - 1,
+                w1=jnp.stack([_unpacked_kernel(c1).reshape(cin, cmid)
+                              for c1, _, _ in blocks]),
+                w2=jnp.concatenate([w.reshape(9, cmid, cmid) for w in w2s]),
+                w3=jnp.stack([_unpacked_kernel(c3).reshape(cmid, cin)
+                              for _, _, c3 in blocks]),
+                coeffs=stage_coeffs(blocks, (tgt[0], tgt[1])),
+                tgt=tgt)
+
+    def _qstage(self, x_q: Array, stage: int) -> Tuple[Array, Grid]:
+        prep = self._qstage_prep[stage]
+        B, H, W, C = x_q.shape
+        out = qstage_fused(
+            x_q.reshape(B * H * W, C), w1=prep["w1"], w2=prep["w2"],
+            w3=prep["w3"], **prep["coeffs"], h=H, w=W,
+            interpret=self.qstage_interpret)
+        return out.reshape(B, H, W, C), prep["tgt"]
+
     def _qblock(self, x_q: Array, name: str, next_grid: Grid) -> Array:
         c1, c2, c3 = (self._node(name, k) for k in ("conv1", "conv2", "conv3"))
         B, H, W, _ = x_q.shape
@@ -457,7 +535,15 @@ class ResNetInt8Engine:
         with annotate("stem"):
             x_q = self._stem(x, _grid_of(first), pre_quantized=pre_quantized)
         grid = _grid_of(first)
-        for idx, (name, i, j) in enumerate(names):
+        idx = 0
+        while idx < len(names):
+            name, i, j = names[idx]
+            if j == 1 and i in self._qstage_prep:
+                # whole identity run of this stage in one chained kernel
+                with annotate(f"layer{i + 1}_idrun"):
+                    x_q, grid = self._qstage(x_q, i)
+                idx += self._qstage_prep[i]["nrun"]
+                continue
             strides = (2, 2) if (i > 0 and j == 0) else (1, 1)
             if idx + 1 < len(names):
                 nxt = _grid_of(self._node(names[idx + 1][0], "conv1"))
@@ -468,6 +554,7 @@ class ResNetInt8Engine:
             with annotate(name):
                 x_q = step(x_q, grid, name, strides, nxt)
             grid = nxt
+            idx += 1
         with annotate("head"):
             if fc is None:
                 pooled = jnp.mean(x_q, axis=(1, 2))   # fp32 from final block

@@ -1,0 +1,70 @@
+"""Same-process e2e A/B: ResNet-50 engine with use_qstage stage subsets.
+
+The isolated bench (chip_qstage_bench.py) shows the chained 2-D kernel
+winning layer4 and losing layer3 — but round 2 proved isolated wins can be
+e2e losses (custom-call scoped-VMEM residency break).  This measures the
+full engine, same-process, for several qstage_stages subsets.
+
+Usage: python scripts/chip_qstage_ab.py [B] [subsets e.g. "3|23|0123"]
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from qtpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import numpy as np
+
+from qtpu.bench.timing import time_scan_fit
+from qtpu.models import get_model
+from qtpu.nn import QuantPolicy
+from qtpu.serve.resnet_engine import ResNetInt8Engine
+from qtpu.transform import calibrate, convert_model, freeze
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+SUBSETS = (sys.argv[2].split("|") if len(sys.argv) > 2
+           else ["", "3", "23", "0123"])
+KEY = jax.random.PRNGKey(0)
+
+
+def main() -> int:
+    model = get_model("resnet50", num_classes=1000, cifar_stem=False)
+    x0 = jax.random.normal(KEY, (8, 224, 224, 3))
+    qm = convert_model(model, QuantPolicy.int8_ptq())
+    qv = jax.jit(qm.init, static_argnames="train")(KEY, x0, train=True)
+    qv = calibrate(qm, dict(qv), [x0])
+    _, sv = freeze(qm, qv, x0)
+    arch = dict(stage_sizes=(3, 4, 6, 3), width=64, bottleneck=True,
+                cifar_stem=False, num_classes=1000)
+    engines = []
+    for sub in SUBSETS:
+        if not sub:
+            engines.append(("qstage OFF ",
+                            ResNetInt8Engine(sv, arch)))
+        else:
+            stages = tuple(int(c) for c in sub)
+            engines.append((f"qstage {sub:<4s}",
+                            ResNetInt8Engine(sv, arch, use_qstage=True,
+                                             qstage_stages=stages)))
+    y0 = np.asarray(engines[0][1].forward(x0))
+    for name, eng in engines[1:]:
+        print(f"{name} bit-exact:",
+              np.array_equal(y0, np.asarray(eng.forward(x0))), flush=True)
+
+    x = jax.random.normal(KEY, (B, 224, 224, 3))
+    for trial in range(2):
+        for name, eng in engines:
+            def body(c, eng=eng):
+                out = eng.forward(c)
+                return c + out[0, 0] * 0.0
+            t = time_scan_fit(body, x, n_short=6, n_long=20)
+            print(f"t{trial} {name}: {t*1e3:7.3f} ms/step -> "
+                  f"{B/t:8.0f} img/s @ B={B}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
