@@ -69,6 +69,33 @@ def main() -> int:
         samples.append(batch / dt)
     img_s = max(samples)
     med = sorted(samples)[len(samples) // 2]
+
+    # Traced %-of-ideal (VERDICT r2 #9): cross-process drift makes raw
+    # img/s deltas noisy round-over-round; the trace-derived ratio of
+    # ideal time (max(flops/peak, bytes/bw) per op) to measured device
+    # time is the drift-free progress metric.  Needs no scope attribution,
+    # so the persistent compilation cache (which strips tf_op metadata)
+    # does not bias it.
+    traced = {}
+    if platform == "tpu":
+        try:
+            from qtpu.bench.tracing import capture_trace, parse_trace
+
+            steps = 10
+            path = capture_trace(eng.forward, x, steps=steps)
+            if path:
+                recs = parse_trace(path)
+                us = sum(r.dur_us for r in recs) / steps
+                ideal = sum(max(r.flops / 394e12, r.bytes / 819e9)
+                            for r in recs) * 1e6 / steps
+                traced = {
+                    "traced_us_per_step": round(us, 1),
+                    "traced_pct_of_ideal": round(100.0 * ideal / us, 1)
+                    if us else 0.0,
+                }
+        except Exception as e:  # tracing must never fail the bench
+            traced = {"traced_error": str(e)[:120]}
+
     print(json.dumps({
         "metric": "resnet50_int8_images_per_sec_chip",
         "value": round(img_s, 1),
@@ -80,6 +107,7 @@ def main() -> int:
                             / max(samples), 1),
         "platform": platform,
         "roofline_img_s": round(roofline_img_s, 1),
+        **traced,
     }))
     return 0
 

@@ -51,8 +51,7 @@ Array = jax.Array
 
 def _kernel(scal_ref, x_ref, w1_ref, w2_ref, w3_ref,
             a1_ref, b1_ref, a2_ref, b2_ref, a3_ref, b3_ref,
-            out_ref, pad_ref, *, H: int, W: int, NBLK: int,
-            wide_ref=None):
+            out_ref, pad_ref, *, H: int, W: int, NBLK: int):
     mb = x_ref.shape[0]
     OFF = W + 1                       # max |row shift| of a 3x3 tap
     # Image-edge row masks, shared by every block in the chain.
@@ -82,7 +81,6 @@ def _kernel(scal_ref, x_ref, w1_ref, w2_ref, w3_ref,
         pad_ref[:OFF] = jnp.full_like(pad_ref[:OFF], zp_i8)
         pad_ref[OFF + mb:] = jnp.full_like(pad_ref[OFF + mb:], zp_i8)
         pad_ref[OFF:OFF + mb] = a
-        Cmid = a.shape[-1]
         acc2 = None
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
@@ -96,18 +94,10 @@ def _kernel(scal_ref, x_ref, w1_ref, w2_ref, w3_ref,
                             valid, m)
                 if valid is not None:
                     xs = jnp.where(valid, xs, zp_i8)
-                if wide_ref is not None:
-                    # in-VMEM im2col: one K=9*Cmid GEMM per conv2 below
-                    wide_ref[:, t * Cmid:(t + 1) * Cmid] = xs
-                    continue
                 tap = jax.lax.dot_general(
                     xs, w2_ref[blk * 9 + t], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
                 acc2 = tap if acc2 is None else acc2 + tap
-        if wide_ref is not None:
-            acc2 = jax.lax.dot_general(
-                wide_ref[:], w2_ref[blk], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
         t2 = acc2.astype(jnp.float32) * a2_ref[blk:blk + 1] + \
             b2_ref[blk:blk + 1]
         b = (jnp.clip(jnp.round(t2), lo2, 255.0) - 128.0).astype(jnp.int8)

@@ -50,7 +50,9 @@ class ServingEngine:
     def __init__(self, model, serve_vars: Dict[str, Any], *,
                  mesh=None, batch_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32),
                  max_wait_ms: float = 2.0, forward_fn=None,
-                 forward_factory=None, max_queue: int = 4096):
+                 forward_factory=None, max_queue: int = 4096,
+                 preprocess_fn=None, raw_dtype=np.float32,
+                 round_timeout_s: Optional[float] = None):
         """``model``/``serve_vars``: a frozen SERVE module + variables.
 
         ``forward_fn(variables, batch) -> logits`` overrides the module apply.
@@ -60,8 +62,33 @@ class ServingEngine:
         whose constructors read concrete metadata (e.g.
         ``lambda sv: ResNetInt8Engine(sv, arch)._forward``): the captured
         sharded weights keep their placements inside the jitted call.
+
+        ``preprocess_fn(host_batch) -> device_batch`` runs HOST-SIDE on the
+        packed (B, H, W, C) batch right before upload — the int8-ingest hook:
+        with ``raw_dtype=np.uint8`` and a fused normalize+quantize preprocess
+        (``qtpu.data.native.preprocess_quantize`` onto the flat engine's
+        ``stem_grid()``), the wire + PCIe transfer is int8 codes — 4x less
+        than f32 images (the measured latency bottleneck on tunneled hosts,
+        BASELINE.md round-2 latency table).  The forward must then accept
+        codes (e.g. ``ResNetInt8Engine.forward_codes``); see
+        ``qtpu.serve.cli.build_engine(uint8_ingest=True)``.
+
+        ``round_timeout_s`` (multi-host only): deadline for one lockstep
+        round (allgather + forward).  The lockstep allgather doubles as the
+        round barrier, so a wedged/dead peer would otherwise block every
+        healthy host's scheduler forever with no health signal (SURVEY §5.3
+        scopes recovery to restart-on-failure — but silent hangs must still
+        become *detectable* failures).  A watchdog thread turns an overdue
+        round into failed futures + ``healthy == False`` (→ /healthz 503);
+        the stuck collective itself cannot be cancelled (daemon thread), so
+        the process should then be restarted by its supervisor.
         """
         self.model = model
+        self._preprocess = preprocess_fn
+        self._raw_dtype = np.dtype(raw_dtype)
+        self._round_timeout_s = round_timeout_s
+        self._round_start: Optional[float] = None
+        self._inflight: list = []
         self.mesh = mesh if mesh is not None else make_mesh(tp=1)
         self.vars = shard_variables(serve_vars, self.mesh)
         if forward_factory is not None:
@@ -106,6 +133,9 @@ class ServingEngine:
         self._thread = threading.Thread(target=self._loop_guarded,
                                         daemon=True)
         self._thread.start()
+        if self._procs > 1 and round_timeout_s:
+            threading.Thread(target=self._watchdog, daemon=True,
+                             name="qtpu-round-watchdog").start()
 
     # ---- client API -----------------------------------------------------
 
@@ -129,9 +159,17 @@ class ServingEngine:
         """Compile every bucket ahead of time (collective in multi-host)."""
         self._img_shape = tuple(image_shape)
         for b in self.buckets:
-            x = np.zeros((b // self._procs, *image_shape), np.float32)
-            x = local_batch_to_global(x, self._x_sharding)
+            x = self._upload(np.zeros((b // self._procs, *image_shape),
+                                      self._raw_dtype))
             jax.block_until_ready(self._fwd(self.vars, x))
+
+    def _upload(self, imgs: np.ndarray) -> jax.Array:
+        """Host preprocess (e.g. normalize+quantize to int8 codes), then
+        place the batch on the mesh ('data'-sharded)."""
+        if self._preprocess is not None:
+            imgs = self._preprocess(imgs)
+        return local_batch_to_global(np.ascontiguousarray(imgs),
+                                     self._x_sharding)
 
     def stats(self) -> Dict[str, float]:
         with self._stats_lock:
@@ -235,7 +273,7 @@ class ServingEngine:
             imgs = np.concatenate([imgs, pad])
         t_run = time.monotonic()
         try:
-            x = jax.device_put(jnp.asarray(imgs), self._x_sharding)
+            x = self._upload(imgs)
             out = np.asarray(jax.block_until_ready(self._fwd(self.vars, x)))
         except BaseException as e:
             # this batch's futures left the queue — fail them here before the
@@ -285,15 +323,54 @@ class ServingEngine:
                     self._stop.set()
                     break
                 batch.append(item)
+            # round deadline bookkeeping: the watchdog fails these futures
+            # and marks the engine unhealthy if the round exceeds
+            # round_timeout_s (a wedged peer blocks the allgather forever).
+            self._inflight = batch
+            self._round_start = time.monotonic()
             state = multihost_utils.process_allgather(
                 np.array([len(batch), int(self._stop.is_set())], np.int32))
+            if self._error is not None:      # watchdog fired mid-collective
+                return
             n_max = int(state[:, 0].max())
             if n_max > 0:
                 self._run_batch_multihost(batch, n_max)
+            self._round_start = None
+            self._inflight = []
             if bool(state[:, 1].any()):
                 self._stop.set()
                 self._drain_queue()
                 return
+
+    def _watchdog(self) -> None:
+        """Fail silently-hung lockstep rounds (multi-host, round_timeout_s).
+
+        Runs beside the scheduler; when the current round is overdue it
+        records a TimeoutError, fails the round's in-flight futures and the
+        queue, and flips ``healthy`` — the stuck scheduler thread itself
+        stays blocked in the collective (uncancellable) but no caller hangs
+        and /healthz turns 503 so a supervisor can restart the process.
+        """
+        period = max(0.05, min(1.0, self._round_timeout_s / 4))
+        while not self._stop.is_set():
+            time.sleep(period)
+            start = self._round_start
+            if start is None:
+                continue
+            overdue = time.monotonic() - start - self._round_timeout_s
+            if overdue <= 0:
+                continue
+            err = TimeoutError(
+                f"multi-host lockstep round exceeded round_timeout_s="
+                f"{self._round_timeout_s}s (a peer host is wedged or dead; "
+                f"restart the slice)")
+            self._error = err
+            self._stop.set()
+            for _, fut, _ in list(self._inflight):
+                if not fut.done():
+                    fut.set_exception(err)
+            self._drain_queue()
+            return
 
     def _run_batch_multihost(self, batch, n_max: int) -> None:
         n = len(batch)
@@ -303,13 +380,12 @@ class ServingEngine:
             raise RuntimeError(
                 "multi-host serving requires warmup() before the first "
                 "request round (fixes the image shape on idle hosts)")
-        imgs = np.zeros((b_local, *self._img_shape), np.float32)
+        imgs = np.zeros((b_local, *self._img_shape), self._raw_dtype)
         for i, item in enumerate(batch[:b_local]):
             imgs[i] = item[0]
         t_run = time.monotonic()
         try:
-            x = local_batch_to_global(np.asarray(imgs, np.float32),
-                                      self._x_sharding)
+            x = self._upload(imgs)
             out_g = jax.block_until_ready(self._fwd(self.vars, x))
         except BaseException as e:
             for _, fut, _ in batch:

@@ -364,7 +364,14 @@ class ResNetInt8Engine:
             else:
                 tgt_node = self._node("fc")
             if tgt_node is None:
-                continue                      # excluded consumer: f32 out
+                # Excluded consumer (e.g. config-5's fp32 fc): the stage's
+                # output must leave on the baseline's fp32/unfused path, so
+                # the chain silently falls back per-block.  Under fc
+                # exclusion the LAST stage (layer4) therefore never uses
+                # qstage even when requested — A/B users take note.
+                print(f"qstage: stage {i} skipped "
+                      f"(consumer excluded -> fp32 out)", flush=True)
+                continue
             tgt = _grid_of(tgt_node)
             if tgt[2]:
                 continue                      # symmetric grid: unfused path

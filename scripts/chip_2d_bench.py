@@ -13,6 +13,7 @@ C) so the kernels run entirely in native layouts:
 All variants asserted bit-identical to the XLA reference before timing.
 """
 import sys
+import zlib
 
 sys.path.insert(0, "/root/repo")
 
@@ -58,7 +59,7 @@ def check(name, a, b):
 
 
 def bench_proj(tag, H, cmid, cin, cout):
-    ks = jax.random.split(jax.random.fold_in(KEY, hash(tag) % 997), 4)
+    ks = jax.random.split(jax.random.fold_in(KEY, zlib.crc32(tag.encode()) % 997), 4)
     c3 = _node(ks[0], 1, 1, cmid, cout, zp=9, scale=0.017)
     dn = _node(ks[1], 1, 1, cin, cout, zp=-4, scale=0.023)
     ng = (jnp.float32(0.019), jnp.int32(-3))
@@ -89,7 +90,7 @@ def bench_proj(tag, H, cmid, cin, cout):
 
 
 def bench_ident(tag, H, cin, cmid):
-    ks = jax.random.split(jax.random.fold_in(KEY, hash(tag) % 991), 4)
+    ks = jax.random.split(jax.random.fold_in(KEY, zlib.crc32(tag.encode()) % 991), 4)
     c1 = _node(ks[0], 1, 1, cin, cmid, zp=5, scale=0.021)
     c2 = _node(ks[1], 3, 3, cmid, cmid, zp=-17, scale=0.013)
     c3 = _node(ks[2], 1, 1, cmid, cin, zp=9, scale=0.017)

@@ -60,6 +60,18 @@ def main() -> int:
          convert_model(get_model("resnet50", num_classes=1000,
                                  cifar_stem=False),
                        QuantPolicy.int8_qat(fake_bn="approx"))),
+        # integer-forward QAT (qtpu.ops.qat_int): int8 MXU conv forward,
+        # STE backward from int8 saved codes — built against the measured
+        # 3.1x fake-quant overhead; tests/test_qat_int.py proves parity.
+        ("int8 QAT int-fwd exact-BN",
+         convert_model(get_model("resnet50", num_classes=1000,
+                                 cifar_stem=False),
+                       QuantPolicy.int8_qat(qat_forward="int"))),
+        ("int8 QAT int-fwd approx-BN",
+         convert_model(get_model("resnet50", num_classes=1000,
+                                 cifar_stem=False),
+                       QuantPolicy.int8_qat(fake_bn="approx",
+                                            qat_forward="int"))),
     ):
         for batch in (64,):
             rate = bench_step(model, batch)

@@ -39,18 +39,23 @@ def main() -> int:
     _, sv = freeze(qm, qv, x0)
     arch = dict(stage_sizes=(3, 4, 6, 3), width=64, bottleneck=True,
                 cifar_stem=False, num_classes=1000)
+    # The bit-exactness reference is ALWAYS a freshly built qstage-OFF
+    # engine, independent of the subsets argument (custom subset lists
+    # would otherwise silently compare qstage engines against each other).
+    ref_engine = ResNetInt8Engine(sv, arch)
     engines = []
     for sub in SUBSETS:
         if not sub:
-            engines.append(("qstage OFF ",
-                            ResNetInt8Engine(sv, arch)))
+            engines.append(("qstage OFF ", ref_engine))
         else:
             stages = tuple(int(c) for c in sub)
             engines.append((f"qstage {sub:<4s}",
                             ResNetInt8Engine(sv, arch, use_qstage=True,
                                              qstage_stages=stages)))
-    y0 = np.asarray(engines[0][1].forward(x0))
-    for name, eng in engines[1:]:
+    y0 = np.asarray(ref_engine.forward(x0))
+    for name, eng in engines:
+        if eng is ref_engine:
+            continue
         print(f"{name} bit-exact:",
               np.array_equal(y0, np.asarray(eng.forward(x0))), flush=True)
 

@@ -9,6 +9,7 @@ same-process, with an on-chip bit-exactness check first.
 Usage: python scripts/chip_qstage_bench.py [B]
 """
 import sys
+import zlib
 
 sys.path.insert(0, "/root/repo")
 
@@ -53,7 +54,7 @@ def _chain(key, nblk, cin, cmid):
 
 
 def bench_stage(name, H, cin, cmid, nblk, ks_try):
-    blocks = _chain(jax.random.fold_in(KEY, hash(name) % 1000),
+    blocks = _chain(jax.random.fold_in(KEY, zlib.crc32(name.encode()) % 1000),
                     nblk, cin, cmid)
     ng = (jnp.float32(0.019), jnp.int32(-3))
     x = jax.random.randint(jax.random.fold_in(KEY, 77),

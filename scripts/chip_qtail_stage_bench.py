@@ -5,6 +5,7 @@ bit-exactness — this isolates WHICH stage shapes lose and by how much, and
 sweeps bb to separate pipelining effects from body cost.
 """
 import sys
+import zlib
 
 sys.path.insert(0, "/root/repo")
 
@@ -39,7 +40,7 @@ def _node(key, kh, kw, ci, co, *, zp, scale):
 
 
 def bench_tail(name, H, cmid, cout, pair, bbs):
-    ks = jax.random.split(jax.random.fold_in(KEY, hash(name) % 1000), 4)
+    ks = jax.random.split(jax.random.fold_in(KEY, zlib.crc32(name.encode()) % 1000), 4)
     c2 = _node(ks[0], 3, 3, cmid, cmid, zp=-17, scale=0.013)
     c3 = _node(ks[1], 1, 1, cmid, cout, zp=9, scale=0.017)
     ng = (jnp.float32(0.019), jnp.int32(-3))
@@ -78,7 +79,7 @@ def bench_tail(name, H, cmid, cout, pair, bbs):
 
 
 def bench_proj(name, H, cmid, cin, cout, pair, bbs):
-    ks = jax.random.split(jax.random.fold_in(KEY, hash(name) % 997), 4)
+    ks = jax.random.split(jax.random.fold_in(KEY, zlib.crc32(name.encode()) % 997), 4)
     c3 = _node(ks[0], 1, 1, cmid, cout, zp=9, scale=0.017)
     dn = _node(ks[1], 1, 1, cin, cout, zp=-4, scale=0.023)
     ng = (jnp.float32(0.019), jnp.int32(-3))

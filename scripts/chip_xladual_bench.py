@@ -15,6 +15,7 @@ Checked bit-close (codes may differ at fp ties vs v0 - different formula
 order), then slope-fit timed per projection shape.
 """
 import sys
+import zlib
 
 sys.path.insert(0, "/root/repo")
 
@@ -48,7 +49,7 @@ def _node(key, ci, co, *, zp, scale):
 
 
 def bench(tag, H, cmid, cin, cout):
-    ks = jax.random.split(jax.random.fold_in(KEY, hash(tag) % 997), 4)
+    ks = jax.random.split(jax.random.fold_in(KEY, zlib.crc32(tag.encode()) % 997), 4)
     c3 = _node(ks[0], cmid, cout, zp=9, scale=0.017)
     dn = _node(ks[1], cin, cout, zp=-4, scale=0.023)
     ng = (jnp.float32(0.019), jnp.int32(-3))

@@ -37,7 +37,70 @@ from qtpu.serve import ServingEngine
 from qtpu.transform import calibrate, convert_model, freeze
 
 
+def wedge_main() -> int:
+    """Wedged-peer scenario (QTPU_TEST_WEDGE=1): process 1 builds an engine
+    whose scheduler never joins the lockstep allgather; process 0's round
+    watchdog (round_timeout_s) must fail the in-flight future and flip
+    healthy=False instead of hanging forever."""
+    import time
+
+    assert jax.process_count() == 2, jax.process_count()
+    pid = jax.process_index()
+
+    key = jax.random.PRNGKey(0)
+    model = get_model("lenet5", num_classes=10)
+    x0 = jax.random.normal(key, (4, 28, 28, 1))
+    qm = convert_model(model, QuantPolicy.int8_ptq())
+    qv = jax.jit(qm.init, static_argnames="train")(key, x0, train=True)
+    qv = calibrate(qm, dict(qv), [x0])
+    smodel, svars = freeze(qm, qv, x0)
+    mesh = make_mesh(dp=2, tp=2)
+
+    sentinel = os.environ.get("QTPU_TEST_WEDGE_SENTINEL", "")
+    if pid == 1:
+        class WedgedEngine(ServingEngine):
+            def _loop_multihost(self):      # never joins a round
+                time.sleep(3600)
+
+        WedgedEngine(smodel, svars, mesh=mesh, batch_buckets=(2, 4))
+        # stay alive while the peer times out; exit BEFORE the leader does
+        # (the coordination service kills followers when the leader dies)
+        for _ in range(300):
+            if sentinel and os.path.exists(sentinel):
+                break
+            time.sleep(0.2)
+        print("WORKER_WEDGE_PEER_DONE", flush=True)
+        os._exit(0)
+
+    engine = ServingEngine(smodel, svars, mesh=mesh, batch_buckets=(2, 4),
+                           max_wait_ms=10.0, round_timeout_s=3.0)
+    engine._img_shape = (28, 28, 1)         # no collective warmup: peer wedged
+    fut = engine.submit(np.zeros((28, 28, 1), np.float32))
+    try:
+        fut.result(timeout=60)
+        print("WORKER_WEDGE_FAIL future resolved", flush=True)
+        os._exit(1)
+    except TimeoutError as e:
+        assert "round_timeout_s" in str(e), e
+    assert not engine.healthy
+    try:
+        engine.submit(np.zeros((28, 28, 1), np.float32))
+        print("WORKER_WEDGE_FAIL submit accepted after death", flush=True)
+        os._exit(1)
+    except RuntimeError:
+        pass
+    print("WORKER_WEDGE_OK", flush=True)
+    if sentinel:                            # let the follower exit first
+        with open(sentinel, "w") as f:
+            f.write("ok")
+        time.sleep(3.0)
+    os._exit(0)                             # scheduler thread is stuck in the
+    # collective by design — _exit instead of a clean join
+
+
 def main() -> int:
+    if os.environ.get("QTPU_TEST_WEDGE"):
+        return wedge_main()
     assert jax.process_count() == 2, jax.process_count()
     pid = jax.process_index()
 

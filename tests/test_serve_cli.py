@@ -1,0 +1,130 @@
+"""Serve CLI (python -m qtpu.serve): end-to-end HTTP + int8-ingest parity.
+
+Covers the launchable-server assembly (overlap flags → bring-up → freeze →
+mesh → engine → HTTP) and the uint8→int8-codes ingest path (4x smaller
+transfer), which must match the f32 ingest bit-for-bit on argmax.
+"""
+import dataclasses
+import io
+import os
+import subprocess
+import sys
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _post_npy(url, arr, timeout=120):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    r = urllib.request.urlopen(url, buf.getvalue(), timeout=timeout)
+    return np.load(io.BytesIO(r.read()))
+
+
+def test_cli_serves_http_end_to_end():
+    port = 28755
+    env = dict(os.environ)
+    # Force CPU: the harness env carries JAX_PLATFORMS=axon (remote TPU);
+    # honor_platform_env in the CLI honors whatever this var says.
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_NUM_CPU_DEVICES"] = "2"
+    env["XLA_FLAGS"] = ("--xla_backend_optimization_level=0 "
+                        "--xla_llvm_disable_expensive_passes=true")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "qtpu.serve", "--config", "lenet_mnist_int8",
+         "--port", str(port), "--buckets", "2,4", "--max-wait-ms", "20"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        cwd=ROOT)
+    try:
+        ready, lines = False, []
+        t0 = time.time()
+        while time.time() - t0 < 300:
+            line = proc.stdout.readline()
+            if not line:
+                break
+            lines.append(line)
+            if line.startswith("QTPU_SERVE_READY"):
+                ready = True
+                break
+        assert ready, "server never became ready:\n" + "".join(lines)
+        imgs = np.random.default_rng(0).normal(
+            size=(4, 28, 28, 1)).astype(np.float32)
+        logits = _post_npy(f"http://127.0.0.1:{port}/predict", imgs)
+        assert logits.shape == (4, 10)
+        h = urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
+                                   timeout=30)
+        assert h.status == 200
+        s = urllib.request.urlopen(f"http://127.0.0.1:{port}/stats",
+                                   timeout=30)
+        import json
+
+        stats = json.loads(s.read())
+        assert stats["images"] >= 4
+    finally:
+        proc.terminate()
+        assert proc.wait(timeout=120) == 0
+
+
+def test_uint8_ingest_matches_f32_path():
+    """build_engine(uint8_ingest=True): uint8 wire → int8 codes → same
+    predictions as the f32 flat-engine path (same frozen weights: same
+    config + seed is a deterministic build)."""
+    from qtpu.examples.configs import CONFIGS
+    from qtpu.serve.cli import build_engine
+
+    cfg = dataclasses.replace(
+        CONFIGS["resnet18_cifar10_int8_kl"],
+        n_train=256, n_eval=64, calib_batches=2, batch_size=32)
+    x8 = np.random.default_rng(1).integers(0, 256, (4, 32, 32, 3),
+                                           dtype=np.uint8)
+    eng_u8, info_u8 = build_engine(cfg, buckets=(4,), uint8_ingest=True,
+                                   max_wait_ms=50.0)
+    assert info_u8["serve_path"] == "flat-engine+int8-ingest"
+    assert info_u8["raw_dtype"] == "uint8"
+    try:
+        y_codes = eng_u8.predict(x8)
+    finally:
+        eng_u8.stop()
+
+    eng_f32, info_f32 = build_engine(cfg, buckets=(4,), uint8_ingest=False,
+                                     max_wait_ms=50.0)
+    assert info_f32["serve_path"] == "flat-engine"
+    try:
+        y_f32 = eng_f32.predict(x8.astype(np.float32) / 255.0)
+    finally:
+        eng_f32.stop()
+
+    np.testing.assert_allclose(y_codes, y_f32, atol=1e-4)
+    assert (y_codes.argmax(-1) == y_f32.argmax(-1)).all()
+
+
+def test_wedged_peer_round_timeout(tmp_path):
+    """Multi-host lockstep with one wedged peer: the healthy host's round
+    watchdog fails in-flight futures and flips healthy=False instead of
+    hanging forever (VERDICT r2 weak #6)."""
+    port = 23561
+    worker = os.path.join(ROOT, "tests", "multihost_worker.py")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "QTPU_COORDINATOR": f"localhost:{port}",
+            "QTPU_NUM_PROCESSES": "2",
+            "QTPU_PROCESS_ID": str(pid),
+            "JAX_NUM_CPU_DEVICES": "2",
+            "XLA_FLAGS": "",
+            "JAX_PLATFORMS": "cpu",
+            "QTPU_TEST_WEDGE": "1",
+            "QTPU_TEST_WEDGE_SENTINEL": str(tmp_path / "wedge_ok"),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, worker], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=560)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+    assert "WORKER_WEDGE_OK" in outs[0], outs[0]
