@@ -141,9 +141,15 @@ def qstage_fused(x_q: Array, *, w1: Array, w2: Array, w3: Array,
         while k * 2 <= min(B, cap) and B % (k * 2) == 0 and \
                 (k * 2) * img <= 4096:
             k *= 2
+        # Mosaic block constraint: a (mb, C) block needs mb % 8 == 0 unless
+        # it covers the whole array (grid = 1).
+        while k < B and (k * img) % 8 and B % (k * 2) == 0:
+            k *= 2
     k = min(k, B)
     assert B % k == 0, (B, k)
     mb = k * img
+    assert interpret or mb == M or mb % 8 == 0, (
+        f"no viable images-per-step tiling: B={B}, h*w={img}")
     out = pl.pallas_call(
         functools.partial(_kernel, H=h, W=w, NBLK=NBLK),
         grid=(M // mb,),

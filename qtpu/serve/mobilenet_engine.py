@@ -36,7 +36,8 @@ class MobileNetV2Int8Engine:
     """Flat int8 inference over frozen MobileNet-v2 qweights."""
 
     def __init__(self, variables: Dict[str, Any], num_classes: int,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, use_qivr: bool = False,
+                 qivr_interpret: bool = False):
         # use_pallas=False by default: MobileNet's channel counts are mostly
         # not lane-aligned, so the (M, C) reshapes around the Pallas GEMMs are
         # physical relayouts (measured 12.4k vs 16.9k img/s at B=64); the XLA
@@ -44,6 +45,17 @@ class MobileNetV2Int8Engine:
         self.qw = variables["qweights"]
         self.num_classes = num_classes
         self.use_pallas = use_pallas
+        # use_qivr: run each maximal run of identity inverted residuals as
+        # ONE chained 2-D Pallas kernel (qtpu.ops.pallas.qivr) — the same
+        # whole-run shape as ResNet's qstage, but with the 3x3 depthwise as
+        # nine row-shifted VPU multiplies (no MXU, no layout casts).
+        # Bit-identical to the per-block sequence (tests/test_pallas_qivr.py);
+        # on-chip A/B in scripts/chip_qivr_bench.py.
+        self.use_qivr = use_qivr
+        self.qivr_interpret = qivr_interpret
+        self._qivr_prep: Dict[int, Dict[str, Any]] = {}
+        if use_qivr:
+            self._prepare_qivr()
         self.forward = jax.jit(self._forward)
 
     def _node(self, *path: str) -> Optional[Dict[str, Array]]:
@@ -67,6 +79,53 @@ class MobileNetV2Int8Engine:
         node = self._node(name, "expand") or self._node(name, "dw")
         return grid_of(node)
 
+    def _prepare_qivr(self) -> None:
+        """Stack each maximal identity-inverted-residual run for qivr_fused.
+
+        Block i qualifies when it has an expand conv, stride 1, cin == cout
+        (residual present) and all grids affine; the grid AFTER the run
+        (next block's in-grid, or the head's) must be affine too — the same
+        dispatch rule as ResNet's qstage applied to inverted residuals.
+        """
+        from qtpu.ops.pallas.qivr import ivr_coeffs, stack_ivr_weights
+        from qtpu.serve.fused_ops import unpacked_kernel
+
+        blocks = self._blocks()
+
+        def chainable(j):
+            name, _t, stride = blocks[j]
+            nodes = tuple(self._node(name, k)
+                          for k in ("expand", "dw", "project"))
+            if any(n is None for n in nodes) or stride != 1:
+                return None
+            cin = unpacked_kernel(nodes[0]).shape[-2]
+            cout = unpacked_kernel(nodes[2]).shape[-1]
+            if cin != cout or any(grid_of(n)[2] for n in nodes):
+                return None
+            return nodes
+
+        i = 0
+        while i < len(blocks):
+            run = []
+            j = i
+            while j < len(blocks):
+                nodes = chainable(j)
+                if nodes is None:
+                    break
+                run.append(nodes)
+                j += 1
+            if not run:
+                i += 1
+                continue
+            tgt = (self._block_in_grid(blocks[j][0]) if j < len(blocks)
+                   else grid_of(self._node("head")))
+            if not tgt[2]:               # affine consumer only
+                self._qivr_prep[i] = dict(
+                    nrun=len(run), tgt=tgt,
+                    weights=stack_ivr_weights(run),
+                    coeffs=ivr_coeffs(run, (tgt[0], tgt[1])))
+            i = j
+
     def _forward(self, x: Array) -> Array:
         blocks = self._blocks()
         stem = self._node("stem")
@@ -84,7 +143,24 @@ class MobileNetV2Int8Engine:
                            requant=first)
         grid = first
 
-        for i, (name, t, stride) in enumerate(blocks):
+        i = 0
+        while i < len(blocks):
+            name, t, stride = blocks[i]
+            if i in self._qivr_prep:
+                # whole identity-inverted-residual run in one chained kernel
+                from qtpu.ops.pallas.qivr import qivr_fused
+
+                prep = self._qivr_prep[i]
+                B, H, W, C = x_q.shape
+                with annotate(f"{name}_ivrun"):
+                    out = qivr_fused(
+                        x_q.reshape(B * H * W, C), **prep["weights"],
+                        **prep["coeffs"], h=H, w=W,
+                        interpret=self.qivr_interpret)
+                    x_q = out.reshape(B, H, W, C)
+                grid = prep["tgt"]
+                i += prep["nrun"]
+                continue
             nxt = (self._block_in_grid(blocks[i + 1][0])
                    if i + 1 < len(blocks) else grid_of(head))
             expand = self._node(name, "expand")
@@ -113,6 +189,7 @@ class MobileNetV2Int8Engine:
                                    out_dtype=jnp.int8,
                                    use_pallas=self.use_pallas)
             grid = nxt
+            i += 1
 
         with annotate("head"):
             x_q = gemm_1x1(x_q, head, relu=True, act_max=6.0, requant=None,

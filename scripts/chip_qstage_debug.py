@@ -138,6 +138,109 @@ def part2() -> None:
                 print(line, flush=True)
 
 
+def part3() -> None:
+    """Real frozen nodes + random input codes: engine._qstage vs the
+    per-block XLA sequence, isolated per stage (no stem/head)."""
+    model = get_model("resnet50", num_classes=1000, cifar_stem=False)
+    x0 = jax.random.normal(KEY, (8, 224, 224, 3))
+    qm = convert_model(model, QuantPolicy.int8_ptq())
+    qv = jax.jit(qm.init, static_argnames="train")(KEY, x0, train=True)
+    qv = calibrate(qm, dict(qv), [x0])
+    _, sv = freeze(qm, qv, x0)
+    arch = dict(stage_sizes=(3, 4, 6, 3), width=64, bottleneck=True,
+                cifar_stem=False, num_classes=1000)
+    eng = ResNetInt8Engine(sv, arch, use_qstage=True)
+    sizes = arch["stage_sizes"]
+    geoms = [(56, 256), (28, 512), (14, 1024), (7, 2048)]
+    for stage, n in enumerate(sizes):
+        H, cin = geoms[stage]
+        blocks = [tuple(eng._node(f"layer{stage + 1}_{j}", k)
+                        for k in ("conv1", "conv2", "conv3"))
+                  for j in range(1, n)]
+        if stage + 1 < len(sizes):
+            tgt_node = eng._node(f"layer{stage + 2}_0", "conv1")
+        else:
+            tgt_node = eng._node("fc")
+        ng = grid_of(tgt_node)[:2]
+        zps = [int(c["act_zp"]) for blk in blocks for c in blk]
+        print(f"stage {stage}: act_zps={zps} tgt_zp={int(ng[1])}",
+              flush=True)
+        x = jax.random.randint(jax.random.fold_in(KEY, 5),
+                               (8, H, H, cin), -128, 128, jnp.int8)
+        ref = np.asarray(_ref_chain(x, blocks, ng)).reshape(-1, cin)
+        out = np.asarray(eng._qstage(x, stage)[0]).reshape(-1, cin)
+        bad = int(np.sum(out != ref))
+        md = int(np.max(np.abs(out.astype(np.int32) - ref.astype(np.int32))))
+        print(f"stage {stage}: qstage-vs-blocks mismatches={bad}/{ref.size} "
+              f"maxdiff={md}", flush=True)
+
+
+def part4() -> None:
+    """Walk the REAL forward path stage by stage: run both engines' block
+    dispatch on the same real stage-input codes, compare codes after every
+    stage AND after the head, to locate where the e2e divergence enters."""
+    from qtpu.serve.resnet_engine import _grid_of
+
+    model = get_model("resnet50", num_classes=1000, cifar_stem=False)
+    x0 = jax.random.normal(KEY, (8, 224, 224, 3))
+    qm = convert_model(model, QuantPolicy.int8_ptq())
+    qv = jax.jit(qm.init, static_argnames="train")(KEY, x0, train=True)
+    qv = calibrate(qm, dict(qv), [x0])
+    _, sv = freeze(qm, qv, x0)
+    arch = dict(stage_sizes=(3, 4, 6, 3), width=64, bottleneck=True,
+                cifar_stem=False, num_classes=1000)
+    ref = ResNetInt8Engine(sv, arch)
+    eng = ResNetInt8Engine(sv, arch, use_qstage=True)
+
+    names = ref._block_names()
+    first = ref._node(names[0][0], "conv1")
+    fc = ref._node("fc")
+    x_q = ref._stem(x0, _grid_of(first))
+    grid = _grid_of(first)
+    sizes = arch["stage_sizes"]
+    idx = 0
+    for i, n in enumerate(sizes):
+        # projection block (shared per-block path in both engines)
+        strides = (2, 2) if i > 0 else (1, 1)
+        nxt = _grid_of(ref._node(f"layer{i + 1}_1", "conv1"))
+        x_q = ref._bottleneck(x_q, grid, f"layer{i + 1}_0", strides, nxt)
+        grid = nxt
+        idx += 1
+        # identity run: per-block (ref) vs chained kernel (eng)
+        xa = x_q
+        ga = grid
+        for j in range(1, n):
+            if idx + 1 < len(names):
+                nxt2 = _grid_of(ref._node(names[idx + 1][0], "conv1"))
+            else:
+                nxt2 = _grid_of(fc)
+            xa = ref._bottleneck(xa, ga, f"layer{i + 1}_{j}", (1, 1), nxt2)
+            ga = nxt2
+            idx += 1
+        xb, gb = eng._qstage(x_q, i)
+        ba = np.asarray(xa)
+        bb = np.asarray(xb)
+        bad = int(np.sum(ba != bb))
+        md = int(np.max(np.abs(ba.astype(np.int32) - bb.astype(np.int32))))
+        print(f"stage {i}: REAL-path codes mismatches={bad}/{ba.size} "
+              f"maxdiff={md} grids_equal="
+              f"{[float(ga[0]) == float(gb[0]), int(ga[1]) == int(gb[1])]}",
+              flush=True)
+        x_q, grid = xa, ga
+    # head on the agreed codes
+    y_ref = np.asarray(ref.forward(x0))
+    y_eng = np.asarray(eng.forward(x0))
+    print("full fwd maxdiff:", float(np.max(np.abs(y_ref - y_eng))),
+          " logits scale:", float(np.max(np.abs(y_ref))), flush=True)
+
+
 if __name__ == "__main__":
-    part1()
-    part2()
+    which = sys.argv[1] if len(sys.argv) > 1 else "123"
+    if "1" in which:
+        part1()
+    if "2" in which:
+        part2()
+    if "3" in which:
+        part3()
+    if "4" in which:
+        part4()

@@ -35,3 +35,24 @@ def test_engine_matches_module_serve():
     assert rel < 0.15, f"engine deviates: rel={rel}"
     agree = float(jnp.mean(jnp.argmax(y_eng, -1) == jnp.argmax(y_module, -1)))
     assert agree == 1.0
+
+
+def test_engine_qivr_bitwise_parity():
+    """Engine with chained inverted-residual kernels == per-block engine,
+    bitwise (interpret mode), and the chains actually dispatch."""
+    m = get_model("mobilenet_v2", num_classes=10, width_mult=1.0)
+    x = jax.random.normal(KEY, (2, 64, 64, 3))
+    qm = convert_model(m, QuantPolicy.int8_ptq())
+    v = dict(jax.jit(qm.init, static_argnames="train")(KEY, x, train=True))
+    v = calibrate(qm, v, [x])
+    _, sv = freeze(qm, v, x)
+    ref = MobileNetV2Int8Engine(sv, num_classes=10)
+    eng = MobileNetV2Int8Engine(sv, num_classes=10, use_qivr=True,
+                                qivr_interpret=True)
+    # V2_CFG identity runs: block2(24x2->1), block4/5(32x3->2), block7/8/9
+    # (64x4->3), block11/12(96x3->2), block14/15(160x3->2)
+    assert sum(p["nrun"] for p in eng._qivr_prep.values()) == 10, \
+        {k: p["nrun"] for k, p in eng._qivr_prep.items()}
+    y_ref = np.asarray(ref.forward(x))
+    y_q = np.asarray(eng.forward(x))
+    assert np.array_equal(y_ref, y_q)
