@@ -49,19 +49,51 @@ from qtpu.ops import qops
 Array = jax.Array
 
 
-def _kernel(scal_ref, x_ref, w1_ref, w2_ref, w3_ref,
-            a1_ref, b1_ref, a2_ref, b2_ref, a3_ref, b3_ref,
-            out_ref, pad_ref, *, H: int, W: int, NBLK: int):
-    mb = x_ref.shape[0]
-    OFF = W + 1                       # max |row shift| of a 3x3 tap
-    # Image-edge row masks, shared by every block in the chain.
+def _edge_masks(mb: int, H: int, W: int):
+    """Image-edge row masks for the row-shifted 3x3 taps (shared helpers)."""
     r = jax.lax.broadcasted_iota(jnp.int32, (mb, 1), 0)
     hh = (r // W) % H
     ww = r - (r // W) * W
     hmask = {-1: hh >= 1, 0: None, 1: hh < H - 1}
     wmask = {-1: ww >= 1, 0: None, 1: ww < W - 1}
+    return hmask, wmask
 
-    x = x_ref[:]
+
+def _conv3x3(a, w2_ref, base: int, pad_ref, hmask, wmask, zp_i8, W: int):
+    """Nine row-shifted GEMMs: 3x3 SAME conv on flattened (mb, C) rows.
+
+    ``a`` int8 (mb, Cmid); taps are w2_ref[base + t] in (dy, dx) row-major
+    order; image-edge taps remapped to the zero-point code via the masks.
+    Returns the int32 accumulator (mb, Cout_of_w2).
+    """
+    mb = a.shape[0]
+    OFF = W + 1
+    pad_ref[:OFF] = jnp.full_like(pad_ref[:OFF], zp_i8)
+    pad_ref[OFF + mb:] = jnp.full_like(pad_ref[OFF + mb:], zp_i8)
+    pad_ref[OFF:OFF + mb] = a
+    acc = None
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            off = dy * W + dx
+            t = (dy + 1) * 3 + (dx + 1)
+            xs = pad_ref[OFF + off:OFF + off + mb]
+            valid = None
+            for m in (hmask[dy], wmask[dx]):
+                if m is not None:
+                    valid = m if valid is None else jnp.logical_and(valid, m)
+            if valid is not None:
+                xs = jnp.where(valid, xs, zp_i8)
+            tap = jax.lax.dot_general(xs, w2_ref[base + t],
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            acc = tap if acc is None else acc + tap
+    return acc
+
+
+def _identity_chain(x, scal_ref, w1_ref, w2_ref, w3_ref,
+                    a1_ref, b1_ref, a2_ref, b2_ref, a3_ref, b3_ref,
+                    pad_ref, hmask, wmask, NBLK: int, W: int):
+    """NBLK chained identity bottlenecks on int8 codes ``x`` (mb, Cin)."""
     for blk in range(NBLK):
         lo1 = scal_ref[blk, 0]
         lo2 = scal_ref[blk, 1]
@@ -77,27 +109,8 @@ def _kernel(scal_ref, x_ref, w1_ref, w2_ref, w3_ref,
         a = (jnp.clip(jnp.round(t1), lo1, 255.0) - 128.0).astype(jnp.int8)
 
         # ---- conv2 (3x3 SAME): nine row-shifted GEMMs on the 2-D scratch --
-        zp_i8 = zp2.astype(jnp.int8)
-        pad_ref[:OFF] = jnp.full_like(pad_ref[:OFF], zp_i8)
-        pad_ref[OFF + mb:] = jnp.full_like(pad_ref[OFF + mb:], zp_i8)
-        pad_ref[OFF:OFF + mb] = a
-        acc2 = None
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                off = dy * W + dx
-                t = (dy + 1) * 3 + (dx + 1)
-                xs = pad_ref[OFF + off:OFF + off + mb]
-                valid = None
-                for m in (hmask[dy], wmask[dx]):
-                    if m is not None:
-                        valid = m if valid is None else jnp.logical_and(
-                            valid, m)
-                if valid is not None:
-                    xs = jnp.where(valid, xs, zp_i8)
-                tap = jax.lax.dot_general(
-                    xs, w2_ref[blk * 9 + t], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                acc2 = tap if acc2 is None else acc2 + tap
+        acc2 = _conv3x3(a, w2_ref, blk * 9, pad_ref, hmask, wmask,
+                        zp2.astype(jnp.int8), W)
         t2 = acc2.astype(jnp.float32) * a2_ref[blk:blk + 1] + \
             b2_ref[blk:blk + 1]
         b = (jnp.clip(jnp.round(t2), lo2, 255.0) - 128.0).astype(jnp.int8)
@@ -109,7 +122,18 @@ def _kernel(scal_ref, x_ref, w1_ref, w2_ref, w3_ref,
             b3_ref[blk:blk + 1]
         t3 = t3 + x.astype(jnp.float32) * c_res
         x = (jnp.clip(jnp.round(t3), lo3, 255.0) - 128.0).astype(jnp.int8)
-    out_ref[:] = x
+    return x
+
+
+def _kernel(scal_ref, x_ref, w1_ref, w2_ref, w3_ref,
+            a1_ref, b1_ref, a2_ref, b2_ref, a3_ref, b3_ref,
+            out_ref, pad_ref, *, H: int, W: int, NBLK: int):
+    mb = x_ref.shape[0]
+    # Image-edge row masks, shared by every block in the chain.
+    hmask, wmask = _edge_masks(mb, H, W)
+    out_ref[:] = _identity_chain(
+        x_ref[:], scal_ref, w1_ref, w2_ref, w3_ref, a1_ref, b1_ref,
+        a2_ref, b2_ref, a3_ref, b3_ref, pad_ref, hmask, wmask, NBLK, W)
 
 
 @functools.partial(jax.jit,
@@ -181,6 +205,175 @@ def qstage_fused(x_q: Array, *, w1: Array, w2: Array, w3: Array,
         interpret=interpret,
     )(scalars, x_q, w1, w2, w3, a1, b1, a2, b2, a3, b3)
     return out
+
+
+def _kernel_proj(pscal_ref, scal_ref, x_ref,
+                 wp1_ref, wp2_ref, wp3_ref, wd_ref,
+                 pa1_ref, pb1_ref, pa2_ref, pb2_ref, pa3_ref, pb3_ref,
+                 pda_ref, pdb_ref,
+                 w1_ref, w2_ref, w3_ref,
+                 a1_ref, b1_ref, a2_ref, b2_ref, a3_ref, b3_ref,
+                 out_ref, padp_ref, pad_ref, *, H: int, W: int, NBLK: int):
+    """Stride-1 projection bottleneck, then the NBLK identity chain.
+
+    The projection epilogue mirrors qproj exactly (downsample branch
+    dequantized on its own coefficients, folded in via C = 1/next_scale)
+    so the whole stage stays bit-identical to the engine's XLA sequence.
+    """
+    mb = x_ref.shape[0]
+    hmask, wmask = _edge_masks(mb, H, W)
+    lo1p = pscal_ref[0, 0]
+    lo2p = pscal_ref[0, 1]
+    zp2p = pscal_ref[0, 2]
+    lo3p = pscal_ref[0, 3]
+    c_inv = pscal_ref[0, 4]
+
+    x0 = x_ref[:]
+    # ---- proj conv1 (1x1) ----
+    acc1 = jax.lax.dot_general(x0, wp1_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    t1 = acc1.astype(jnp.float32) * pa1_ref[:] + pb1_ref[:]
+    a = (jnp.clip(jnp.round(t1), lo1p, 255.0) - 128.0).astype(jnp.int8)
+    # ---- proj conv2 (3x3 SAME, stride 1) ----
+    acc2 = _conv3x3(a, wp2_ref, 0, padp_ref, hmask, wmask,
+                    zp2p.astype(jnp.int8), W)
+    t2 = acc2.astype(jnp.float32) * pa2_ref[:] + pb2_ref[:]
+    b = (jnp.clip(jnp.round(t2), lo2p, 255.0) - 128.0).astype(jnp.int8)
+    # ---- proj conv3 + downsample (two GEMMs, qproj epilogue order) ----
+    acc3 = jax.lax.dot_general(b, wp3_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    accd = jax.lax.dot_general(x0, wd_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    td = accd.astype(jnp.float32) * pda_ref[:] + pdb_ref[:]
+    t3 = acc3.astype(jnp.float32) * pa3_ref[:] + pb3_ref[:] + td * c_inv
+    x = (jnp.clip(jnp.round(t3), lo3p, 255.0) - 128.0).astype(jnp.int8)
+
+    out_ref[:] = _identity_chain(
+        x, scal_ref, w1_ref, w2_ref, w3_ref, a1_ref, b1_ref,
+        a2_ref, b2_ref, a3_ref, b3_ref, pad_ref, hmask, wmask, NBLK, W)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "k", "interpret", "vmem_mb"))
+def qstage_proj_fused(x_q: Array, *, wp1: Array, wp2: Array, wp3: Array,
+                      wd: Array, pscal: Array, pa1: Array, pb1: Array,
+                      pa2: Array, pb2: Array, pa3: Array, pb3: Array,
+                      pda: Array, pdb: Array,
+                      w1: Array, w2: Array, w3: Array, scalars: Array,
+                      a1: Array, b1: Array, a2: Array, b2: Array,
+                      a3: Array, b3: Array, h: int, w: int, k: int = 0,
+                      interpret: bool = False, vmem_mb: int = 96) -> Array:
+    """A WHOLE stage — stride-1 projection block + identity chain — fused.
+
+    x_q: (B*h*w, Cp) int8 on the projection block's conv1 grid.  Projection
+    weights: wp1 (Cp, Cm), wp2 (9, Cm, Cm), wp3 (Cm, Co), wd (Cp, Co); chain
+    stacks as in :func:`qstage_fused` with Cin = Co.  Coefficients from
+    :func:`proj_stage_coeffs`.  Only valid for stride-1 projection stages
+    (ResNet layer1); strided stages keep the XLA projection + qstage chain.
+    Returns (B*h*w, Co) int8 codes on the next consumer's grid.
+    """
+    M, Cp = x_q.shape
+    Cm = wp1.shape[1]
+    Co = wp3.shape[1]
+    NBLK, _, Cmid = w1.shape
+    img = h * w
+    B = M // img
+    assert M == B * img, (M, h, w)
+    if not k:
+        cmax = max(Cp, Co)
+        cap = max(1, (vmem_mb * 2 ** 20 // 3) // (16 * cmax * img))
+        k = 1
+        while k * 2 <= min(B, cap) and B % (k * 2) == 0 and \
+                (k * 2) * img <= 4096:
+            k *= 2
+        while k < B and (k * img) % 8 and B % (k * 2) == 0:
+            k *= 2
+    k = min(k, B)
+    assert B % k == 0, (B, k)
+    mb = k * img
+    assert interpret or mb == M or mb % 8 == 0, (
+        f"no viable images-per-step tiling: B={B}, h*w={img}")
+    row = lambda c: pl.BlockSpec((1, c), lambda i: (0, 0))
+    out = pl.pallas_call(
+        functools.partial(_kernel_proj, H=h, W=w, NBLK=NBLK),
+        grid=(M // mb,),
+        in_specs=[
+            pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((NBLK, 5), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((mb, Cp), lambda i: (i, 0)),
+            pl.BlockSpec((Cp, Cm), lambda i: (0, 0)),
+            pl.BlockSpec((9, Cm, Cm), lambda i: (0, 0, 0)),
+            pl.BlockSpec((Cm, Co), lambda i: (0, 0)),
+            pl.BlockSpec((Cp, Co), lambda i: (0, 0)),
+            row(Cm), row(Cm), row(Cm), row(Cm),
+            row(Co), row(Co), row(Co), row(Co),
+            pl.BlockSpec((NBLK, Co, Cmid), lambda i: (0, 0, 0)),
+            pl.BlockSpec((NBLK * 9, Cmid, Cmid), lambda i: (0, 0, 0)),
+            pl.BlockSpec((NBLK, Cmid, Co), lambda i: (0, 0, 0)),
+            pl.BlockSpec((NBLK, Cmid), lambda i: (0, 0)),
+            pl.BlockSpec((NBLK, Cmid), lambda i: (0, 0)),
+            pl.BlockSpec((NBLK, Cmid), lambda i: (0, 0)),
+            pl.BlockSpec((NBLK, Cmid), lambda i: (0, 0)),
+            pl.BlockSpec((NBLK, Co), lambda i: (0, 0)),
+            pl.BlockSpec((NBLK, Co), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((mb, Co), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, Co), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((mb + 2 * (w + 1), Cm), jnp.int8),
+                        pltpu.VMEM((mb + 2 * (w + 1), Cmid), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=vmem_mb * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * (Cm * (Cp + 9 * Cm + Co) + Cp * Co
+                           + NBLK * Cmid * (2 * Co + 9 * Cmid)),
+            bytes_accessed=M * (Cp + Co)
+            + Cm * (Cp + 9 * Cm + Co) + Cp * Co
+            + NBLK * Cmid * (2 * Co + 9 * Cmid),
+            transcendentals=0),
+        interpret=interpret,
+    )(pscal, scalars, x_q, wp1, wp2, wp3, wd,
+      pa1, pb1, pa2, pb2, pa3, pb3, pda, pdb,
+      w1, w2, w3, a1, b1, a2, b2, a3, b3)
+    return out
+
+
+def proj_stage_coeffs(proj: Tuple[Dict[str, Array], ...],
+                      blocks: Sequence[Tuple[Dict[str, Array],
+                                             Dict[str, Array],
+                                             Dict[str, Array]]],
+                      next_grid: Tuple[Array, ...]) -> Dict[str, Array]:
+    """Folded coefficients for a full stage: projection block + chain.
+
+    ``proj`` = (c1, c2, c3, down) frozen nodes of the stride-1 projection
+    block; its output requantizes onto chain block 0's conv1 grid.  The
+    conv3+downsample epilogue reuses qproj's proj_coeffs so the fused stage
+    stays bit-identical to the engine's XLA projection path.
+    """
+    from qtpu.ops.pallas.qproj import proj_coeffs
+
+    c1, c2, c3, down = proj
+    row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
+    co1, _ = qops.epilogue_coeffs(
+        act_scale=c1["act_scale"], act_zp=c1["act_zp"],
+        w_scale=c1["w_scale"], colsum=c1["colsum"], bias=c1["bias"],
+        requant_scale=c2["act_scale"], requant_zp=c2["act_zp"], relu=True)
+    co2, _ = qops.epilogue_coeffs(
+        act_scale=c2["act_scale"], act_zp=c2["act_zp"],
+        w_scale=c2["w_scale"], colsum=c2["colsum"], bias=c2["bias"],
+        requant_scale=c3["act_scale"], requant_zp=c3["act_zp"], relu=True)
+    chain0 = (blocks[0][0]["act_scale"], blocks[0][0]["act_zp"])
+    tail = proj_coeffs(c3, down, chain0)
+    zpa_s = jnp.asarray(c2["act_zp"], jnp.float32)
+    pscal = jnp.stack([co1.lo, co2.lo, zpa_s.reshape(()),
+                       tail["scalars"][0, 0],
+                       tail["scalars"][0, 1]]).reshape(1, 5)
+    return dict(pscal=pscal, pa1=row(co1.A), pb1=row(co1.B),
+                pa2=row(co2.A), pb2=row(co2.B),
+                pa3=tail["a3"], pb3=tail["b3"],
+                pda=tail["ad"], pdb=tail["bd"],
+                **stage_coeffs(blocks, next_grid))
 
 
 def stage_coeffs(blocks: Sequence[Tuple[Dict[str, Array], Dict[str, Array],

@@ -36,7 +36,8 @@ from qtpu.nn.layers import BN_EPS
 from qtpu.ops import qops
 from qtpu.ops.pallas.qblock import block_coeffs, qbottleneck_fused
 from qtpu.ops.pallas.qproj import proj_coeffs, qproj2d_fused
-from qtpu.ops.pallas.qstage import qstage_fused, stage_coeffs
+from qtpu.ops.pallas.qstage import (proj_stage_coeffs, qstage_fused,
+                                    qstage_proj_fused, stage_coeffs)
 from qtpu.ops.pallas.qtail import qtail_fused, tail_coeffs
 from qtpu.serve.fused_ops import (Grid,
                                   conv_xla as _fused_conv,
@@ -80,7 +81,8 @@ class ResNetInt8Engine:
                  qproj_stages: Optional[Tuple[int, ...]] = None,
                  use_qstage: Optional[bool] = None,
                  qstage_stages: Optional[Tuple[int, ...]] = None,
-                 qstage_interpret: bool = False):
+                 qstage_interpret: bool = False,
+                 qstage_proj: bool = False):
         self.qw = variables["qweights"]
         # fp32 params/batch-stats: only consulted for *excluded* layers
         # (config 5 excludes stem*/fc — SURVEY.md §1.2 canonical first/last
@@ -168,6 +170,15 @@ class ResNetInt8Engine:
         self.qstage_stages = ((0, 1, 2, 3) if qstage_stages is None
                               else tuple(qstage_stages))
         self.qstage_interpret = qstage_interpret
+        # qstage_proj: additionally chain a stage's stride-1 PROJECTION block
+        # (conv1 -> conv2 -> conv3 + downsample GEMM) into the same kernel
+        # (qstage_proj_fused) — covers the WHOLE stage with one custom call
+        # and removes the downsample branch's f32 HBM round trip (411 MB at
+        # layer1_0/B=128, the single largest traced cost).  Only stride-1
+        # projection stages qualify (layer1); strided stages keep the XLA
+        # projection ahead of the identity chain.  Bit-identical to the XLA
+        # sequence (tests/test_pallas_qstage_proj.py).
+        self.qstage_proj = qstage_proj
         self._qstage_prep: Dict[int, Dict[str, Any]] = {}
         if self.use_qstage:
             self._prepare_qstages()
@@ -393,24 +404,53 @@ class ResNetInt8Engine:
                 continue
             cin = _unpacked_kernel(blocks[0][0]).shape[-2]
             cmid = w2s[0].shape[-1]
-            self._qstage_prep[i] = dict(
-                nrun=n - 1,
+            weights = dict(
                 w1=jnp.stack([_unpacked_kernel(c1).reshape(cin, cmid)
                               for c1, _, _ in blocks]),
                 w2=jnp.concatenate([w.reshape(9, cmid, cmid) for w in w2s]),
                 w3=jnp.stack([_unpacked_kernel(c3).reshape(cmid, cin)
-                              for _, _, c3 in blocks]),
-                coeffs=stage_coeffs(blocks, (tgt[0], tgt[1])),
-                tgt=tgt)
+                              for _, _, c3 in blocks]))
+            proj = self._qstage_proj_nodes(i) if self.qstage_proj else None
+            if proj is not None:
+                c1, c2, c3, down = proj
+                cp = _unpacked_kernel(c1).shape[-2]
+                cm = _unpacked_kernel(c1).shape[-1]
+                weights.update(
+                    wp1=_unpacked_kernel(c1).reshape(cp, cm),
+                    wp2=_unpacked_kernel(c2).reshape(9, cm, cm),
+                    wp3=_unpacked_kernel(c3).reshape(cm, cin),
+                    wd=_unpacked_kernel(down).reshape(cp, cin))
+                coeffs = proj_stage_coeffs(proj, blocks, (tgt[0], tgt[1]))
+            else:
+                coeffs = stage_coeffs(blocks, (tgt[0], tgt[1]))
+            self._qstage_prep[i] = dict(nrun=n - 1, weights=weights,
+                                        coeffs=coeffs, tgt=tgt)
+
+    def _qstage_proj_nodes(self, i: int):
+        """The stage's projection-block nodes when chainable, else None.
+
+        Chainable = stride-1 stage (stage 0 only — later stages downsample),
+        all four convs present on affine grids, 3x3 conv2.
+        """
+        if i != 0:
+            return None
+        cs = tuple(self._node(f"layer{i + 1}_0", k)
+                   for k in ("conv1", "conv2", "conv3", "down"))
+        if any(c is None for c in cs) or any(_grid_of(c)[2] for c in cs):
+            return None
+        if _unpacked_kernel(cs[1]).shape[:2] != (3, 3):
+            return None
+        return cs
 
     def _qstage(self, x_q: Array, stage: int) -> Tuple[Array, Grid]:
         prep = self._qstage_prep[stage]
         B, H, W, C = x_q.shape
-        out = qstage_fused(
-            x_q.reshape(B * H * W, C), w1=prep["w1"], w2=prep["w2"],
-            w3=prep["w3"], **prep["coeffs"], h=H, w=W,
-            interpret=self.qstage_interpret)
-        return out.reshape(B, H, W, C), prep["tgt"]
+        fn = (qstage_proj_fused if "wp1" in prep["weights"]
+              else qstage_fused)
+        cout = prep["weights"]["w3"].shape[-1]
+        out = fn(x_q.reshape(B * H * W, C), **prep["weights"],
+                 **prep["coeffs"], h=H, w=W, interpret=self.qstage_interpret)
+        return out.reshape(B, H, W, cout), prep["tgt"]
 
     def _qblock(self, x_q: Array, name: str, next_grid: Grid) -> Array:
         c1, c2, c3 = (self._node(name, k) for k in ("conv1", "conv2", "conv3"))
@@ -545,7 +585,15 @@ class ResNetInt8Engine:
         idx = 0
         while idx < len(names):
             name, i, j = names[idx]
-            if j == 1 and i in self._qstage_prep:
+            if (j == 0 and i in self._qstage_prep
+                    and "wp1" in self._qstage_prep[i]["weights"]):
+                # WHOLE stage (projection + identity run) in one kernel
+                with annotate(f"layer{i + 1}_stage"):
+                    x_q, grid = self._qstage(x_q, i)
+                idx += self._qstage_prep[i]["nrun"] + 1
+                continue
+            if (j == 1 and i in self._qstage_prep
+                    and "wp1" not in self._qstage_prep[i]["weights"]):
                 # whole identity run of this stage in one chained kernel
                 with annotate(f"layer{i + 1}_idrun"):
                     x_q, grid = self._qstage(x_q, i)

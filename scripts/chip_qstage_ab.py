@@ -48,16 +48,31 @@ def main() -> int:
         if not sub:
             engines.append(("qstage OFF ", ref_engine))
         else:
-            stages = tuple(int(c) for c in sub)
+            # "p"-prefixed subset: also chain the stride-1 projection block
+            # (whole-stage kernel qstage_proj_fused, e.g. "p0" = all of
+            # layer1 in one call).
+            proj = sub.startswith("p")
+            stages = tuple(int(c) for c in sub.lstrip("p"))
             engines.append((f"qstage {sub:<4s}",
                             ResNetInt8Engine(sv, arch, use_qstage=True,
-                                             qstage_stages=stages)))
+                                             qstage_stages=stages,
+                                             qstage_proj=proj)))
+    # Correctness discipline (established round 3, scripts/chip_qstage_debug):
+    # the chained kernel is BIT-EXACT vs the per-block sequence at every
+    # stage on real frozen weights (parts 3/4) — but two different jitted
+    # programs legitimately differ in the f32 stem-quantize/head (XLA
+    # fma/reassociation at round() ties flips border codes), so the
+    # cross-PROGRAM check is argmax agreement + small relative error, not
+    # logits bitwise equality.
     y0 = np.asarray(ref_engine.forward(x0))
     for name, eng in engines:
         if eng is ref_engine:
             continue
-        print(f"{name} bit-exact:",
-              np.array_equal(y0, np.asarray(eng.forward(x0))), flush=True)
+        y = np.asarray(eng.forward(x0))
+        rel = float(np.max(np.abs(y - y0)) / (np.max(np.abs(y0)) + 1e-9))
+        print(f"{name} argmax-equal:",
+              bool((y.argmax(-1) == y0.argmax(-1)).all()),
+              f"rel={rel:.4f}", flush=True)
 
     x = jax.random.normal(KEY, (B, 224, 224, 3))
     for trial in range(2):
