@@ -1,0 +1,98 @@
+"""Hand-scheduled int8 MobileNet-v1 inference engine.
+
+Flat int8-resident pipeline over frozen qweights — the v1 counterpart of
+MobileNetV2Int8Engine (SURVEY.md §1.2 R6 lists MobileNet-v1 in the
+reference's model-zoo targets; §2.2 requires the depthwise quant path).
+v1 is a plain depthwise-separable stack (no residuals, plain relu):
+
+* stem 3x3/s2, then 13 x (depthwise 3x3 + pointwise 1x1), pool, fc;
+* depthwise via XLA int8 grouped conv (the measured dispatch — PARITY.md),
+  relu+requant folded into the epilogue;
+* activations stay int8 between layers on each consumer's calibrated grid;
+  the final pointwise emits fp32 for the mean-pool -> fc quantize.
+
+Block layout mirrors qtpu.models.mobilenet.MobileNetV1: stem, block{i} with
+dw/pw children, fc.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from qtpu.bench.profile import annotate
+from qtpu.ops import qops
+from qtpu.serve.fused_ops import (conv_xla, gemm_1x1, grid_of,
+                                  unpacked_kernel)
+
+Array = jax.Array
+
+# per-block strides — must match models/mobilenet.py MobileNetV1 cfg
+V1_STRIDES = (1, 2, 1, 2, 1, 2, 1, 1, 1, 1, 1, 2, 1)
+
+
+class MobileNetV1Int8Engine:
+    """Flat int8 inference over frozen MobileNet-v1 qweights."""
+
+    def __init__(self, variables: Dict[str, Any], num_classes: int,
+                 use_pallas: bool = False):
+        # use_pallas=False default for the same reason as the v2 engine:
+        # MobileNet channel counts are mostly not lane-aligned, so the (M, C)
+        # reshapes around Pallas GEMMs are physical relayouts; the XLA NHWC
+        # path fuses the same folded epilogues without them.
+        self.qw = variables["qweights"]
+        self.num_classes = num_classes
+        self.use_pallas = use_pallas
+        self.forward = jax.jit(self._forward)
+
+    def _node(self, *path: str) -> Optional[Dict[str, Array]]:
+        node = self.qw
+        for p in path:
+            if p not in node:
+                return None
+            node = node[p]
+        return node
+
+    def _forward(self, x: Array) -> Array:
+        stem = self._node("stem")
+        fc = self._node("fc")
+        if stem is None or fc is None:
+            raise NotImplementedError(
+                "excluded layers: use the module SERVE path")
+        n_blocks = len(V1_STRIDES)
+
+        with annotate("stem"):
+            x_q = qops.quantize_act(x, stem["act_scale"], stem["act_zp"],
+                                    symmetric=grid_of(stem)[2])
+            first = grid_of(self._node("block0", "dw"))
+            x_q = conv_xla(x_q, stem, strides=(2, 2), relu=True,
+                           requant=first)
+
+        for i, s in enumerate(V1_STRIDES):
+            dw = self._node(f"block{i}", "dw")
+            pw = self._node(f"block{i}", "pw")
+            if dw is None or pw is None:
+                raise NotImplementedError(
+                    "excluded layers: use the module SERVE path")
+            # the NEXT consumer's grid: next block's dw, or fp32 out for the
+            # final block (mean-pool consumes fp32, then fc re-quantizes)
+            nxt = (grid_of(self._node(f"block{i + 1}", "dw"))
+                   if i + 1 < n_blocks else None)
+            with annotate(f"block{i}"):
+                c = x_q.shape[-1]
+                y = conv_xla(x_q, dw, strides=(s, s), groups=c, relu=True,
+                             requant=grid_of(pw))
+                x_q = gemm_1x1(y, pw, relu=True, requant=nxt,
+                               out_dtype=jnp.int8 if nxt is not None
+                               else jnp.float32,
+                               use_pallas=self.use_pallas)
+
+        with annotate("head"):
+            pooled = jnp.mean(x_q, axis=(1, 2))
+            x_fc = qops.quantize_act(pooled, fc["act_scale"], fc["act_zp"],
+                                     symmetric=grid_of(fc)[2])
+            acc = qops.qmatmul(x_fc, unpacked_kernel(fc))
+            return qops.dequant_epilogue(
+                acc, act_scale=fc["act_scale"], act_zp=fc["act_zp"],
+                w_scale=fc["w_scale"], colsum=fc["colsum"], bias=fc["bias"])

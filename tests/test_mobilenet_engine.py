@@ -56,3 +56,29 @@ def test_engine_qivr_bitwise_parity():
     y_ref = np.asarray(ref.forward(x))
     y_q = np.asarray(eng.forward(x))
     assert np.array_equal(y_ref, y_q)
+
+
+def test_v1_engine_matches_module_serve():
+    """MobileNetV1 flat int8 engine vs the module SERVE path."""
+    from qtpu.serve.mobilenet_v1_engine import MobileNetV1Int8Engine
+
+    m = get_model("mobilenet_v1", num_classes=10, width_mult=1.0)
+    x = jax.random.normal(KEY, (2, 64, 64, 3))
+    qm = convert_model(m, QuantPolicy.int8_ptq())
+    v = dict(jax.jit(qm.init, static_argnames="train")(KEY, x, train=True))
+    tr = jax.jit(lambda v, xx: qm.apply(
+        v, xx, train=True, mutable=["batch_stats", "quant_stats"]))
+    for i in range(2):
+        _, mut = tr(v, jax.random.normal(jax.random.fold_in(KEY, i),
+                                         (2, 64, 64, 3)))
+        v.update(mut)
+    v = calibrate(qm, v, [x])
+    sm, sv = freeze(qm, v, x)
+    y_module = jax.jit(sm.apply)(sv, x)
+    eng = MobileNetV1Int8Engine(sv, num_classes=10)
+    y_eng = eng.forward(x)
+    rel = float(jnp.linalg.norm(y_eng - y_module) /
+                (float(jnp.linalg.norm(y_module)) + 1e-9))
+    assert rel < 0.15, f"engine deviates: rel={rel}"
+    agree = float(jnp.mean(jnp.argmax(y_eng, -1) == jnp.argmax(y_module, -1)))
+    assert agree == 1.0
