@@ -118,6 +118,23 @@ def build_engine(cfg, *, tp: int = 1, dp: Optional[int] = None,
                 return eng._forward
 
             serve_path = "flat-engine"
+    elif cfg.model in ("mobilenet_v1", "mobilenet_v2") and not cfg.exclude:
+        if cfg.model == "mobilenet_v2":
+            from qtpu.serve.mobilenet_engine import MobileNetV2Int8Engine \
+                as _MNEngine
+        else:
+            from qtpu.serve.mobilenet_v1_engine import MobileNetV1Int8Engine \
+                as _MNEngine
+        nc = cfg.num_classes
+
+        def forward_factory(sv):
+            return _MNEngine(sv, num_classes=nc)._forward
+
+        serve_path = "flat-engine"
+        if uint8_ingest:
+            raise SystemExit("--uint8-ingest needs a stem-grid flat engine "
+                             "(resnet18/resnet50): MobileNet engines take "
+                             "f32 images")
     elif uint8_ingest:
         raise SystemExit("--uint8-ingest needs a flat-engine arch "
                          "(resnet18/resnet50 without excludes): the module "

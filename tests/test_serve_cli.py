@@ -128,3 +128,26 @@ def test_wedged_peer_round_timeout(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
     assert "WORKER_WEDGE_OK" in outs[0], outs[0]
+
+
+def test_build_engine_mobilenet_flat_path():
+    """MobileNet configs serve through their flat int8 engines."""
+    import dataclasses
+
+    import numpy as np
+
+    from qtpu.examples.configs import CONFIGS
+    from qtpu.serve.cli import build_engine
+
+    cfg = dataclasses.replace(
+        CONFIGS["mobilenetv2_imagenet_int8_qat"],
+        image_size=64, n_train=8, calib_batches=1, batch_size=4)
+    eng, info = build_engine(cfg, buckets=(2,), max_wait_ms=0.5)
+    try:
+        assert info["serve_path"] == "flat-engine"
+        x = np.random.default_rng(0).normal(
+            size=(2, 64, 64, 3)).astype(np.float32)
+        y = eng.predict(x)
+        assert y.shape == (2, cfg.num_classes)
+    finally:
+        eng.stop()
