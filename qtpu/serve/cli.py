@@ -258,14 +258,11 @@ def main(argv=None) -> int:
         max_wait_ms=args.max_wait_ms, round_timeout_s=args.round_timeout,
         mean=[float(v) for v in args.mean.split(",")],
         std=[float(v) for v in args.std.split(",")], seed=args.seed)
-    info.update(distributed=bool(distributed), host=args.host,
-                port=args.port)
-    print("QTPU_SERVE_READY " + json.dumps(info), flush=True)
-
     from qtpu.serve.http_front import serve_http
 
-    server, thread = serve_http(engine, host=args.host, port=args.port,
-                                block=False)
+    # Handlers before the server, READY only after the port is bound:
+    # a supervisor that terminates on a slow start must still get a clean
+    # exit, and a READY reader must never race the bind.
     stop_evt = threading.Event()
 
     def _sig(_s, _f):
@@ -273,6 +270,11 @@ def main(argv=None) -> int:
 
     signal.signal(signal.SIGINT, _sig)
     signal.signal(signal.SIGTERM, _sig)
+    server, thread = serve_http(engine, host=args.host, port=args.port,
+                                block=False)
+    info.update(distributed=bool(distributed), host=args.host,
+                port=int(server.server_address[1]))
+    print("QTPU_SERVE_READY " + json.dumps(info), flush=True)
     try:
         while not stop_evt.is_set() and engine.healthy:
             stop_evt.wait(0.5)

@@ -1,8 +1,9 @@
-"""On-chip MobileNetV2 INT8 throughput (flat engine), post-epilogue-folding.
+"""On-chip MobileNet INT8 throughput (flat engines), post-epilogue-folding.
 
-Round 1 measured 16.9k img/s @ B=64.  Round 2 folded every requant epilogue
-(qops.epilogue_coeffs) — this re-measures the engine and sweeps batch size,
-one process, slope-fit.
+Round 1 measured 16.9k img/s @ B=64 (v2).  Round 2 folded every requant
+epilogue (qops.epilogue_coeffs) — this re-measures the engine and sweeps
+batch size, one process, slope-fit.  Round 3: also benches the MobileNet-v1
+flat engine (pass ``v1`` as argv[1]; default v2).
 """
 import sys
 
@@ -26,13 +27,18 @@ KEY = jax.random.PRNGKey(0)
 
 
 def main() -> int:
-    model = get_model("mobilenet_v2", num_classes=1000)
+    variant = sys.argv[1] if len(sys.argv) > 1 else "v2"
+    model = get_model(f"mobilenet_{variant}", num_classes=1000)
     x0 = jax.random.normal(KEY, (8, 224, 224, 3))
     qm = convert_model(model, QuantPolicy.int8_ptq())
     qv = jax.jit(qm.init, static_argnames="train")(KEY, x0, train=True)
     qv = calibrate(qm, dict(qv), [x0])
     _, sv = freeze(qm, qv, x0)
-    eng = MobileNetV2Int8Engine(sv, num_classes=1000)
+    if variant == "v1":
+        from qtpu.serve.mobilenet_v1_engine import MobileNetV1Int8Engine
+        eng = MobileNetV1Int8Engine(sv, num_classes=1000)
+    else:
+        eng = MobileNetV2Int8Engine(sv, num_classes=1000)
     y = eng.forward(x0)
     print("forward ok:", y.shape, flush=True)
     for B in (64, 128, 256):

@@ -5,6 +5,11 @@ half of the workload (the reference's main use case — SURVEY §3.3): the full
 jitted QAT step (fake-quant forward with EMA observers + fake-BN, STE
 backward, adamw update) vs the plain fp32 step, same process, slope-fit.
 The gap is the fake-quant overhead a QAT user pays per step.
+
+Usage: python scripts/chip_qat_bench.py [variant-substr ...]
+  With args, only variants whose label contains any substring run (e.g.
+  ``approx`` reruns the two approx rows; ``fp32 exact approx`` anchors the
+  sim-side trio in one process).
 """
 import sys
 
@@ -44,12 +49,15 @@ def bench_step(model, batch):
     # n_long-n_short must put the slope well above the tunnel's launch-time
     # noise (measured up to ~±0.5 s/call on busy days, with a fixed per-call
     # overhead that reached ~14 s on 2026-08-18 — slope-fit cancels the
-    # fixed part, the spread must out-scale the noise).
-    t = time_scan_fit(body, state, x0, n_short=4, n_long=20)
+    # fixed part, the spread must out-scale the noise).  The 4/20 spread
+    # produced one degenerate (negative-slope) fit on 2026-08-19; 4/36
+    # doubles the signal.
+    t = time_scan_fit(body, state, x0, n_short=4, n_long=36)
     return batch / t
 
 
 def main() -> int:
+    wanted = sys.argv[1:]
     for label, model in (
         ("fp32", get_model("resnet50", num_classes=1000, cifar_stem=False)),
         ("int8 QAT exact fake-BN",
@@ -73,6 +81,8 @@ def main() -> int:
                        QuantPolicy.int8_qat(fake_bn="approx",
                                             qat_forward="int"))),
     ):
+        if wanted and not any(w in label for w in wanted):
+            continue
         for batch in (64,):
             rate = bench_step(model, batch)
             print(f"{label:28s} B={batch}: {rate:7.0f} img/s (train)",

@@ -26,7 +26,6 @@ def _post_npy(url, arr, timeout=120):
 
 
 def test_cli_serves_http_end_to_end():
-    port = 28755
     env = dict(os.environ)
     # Force CPU: the harness env carries JAX_PLATFORMS=axon (remote TPU);
     # honor_platform_env in the CLI honors whatever this var says.
@@ -34,9 +33,11 @@ def test_cli_serves_http_end_to_end():
     env["JAX_NUM_CPU_DEVICES"] = "2"
     env["XLA_FLAGS"] = ("--xla_backend_optimization_level=0 "
                         "--xla_llvm_disable_expensive_passes=true")
+    # --port 0: the OS picks a free port (no fixed-port collisions across
+    # concurrent test runs); the READY line reports the bound port.
     proc = subprocess.Popen(
         [sys.executable, "-m", "qtpu.serve", "--config", "lenet_mnist_int8",
-         "--port", str(port), "--buckets", "2,4", "--max-wait-ms", "20"],
+         "--port", "0", "--buckets", "2,4", "--max-wait-ms", "20"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
         cwd=ROOT)
     try:
@@ -51,6 +52,9 @@ def test_cli_serves_http_end_to_end():
                 ready = True
                 break
         assert ready, "server never became ready:\n" + "".join(lines)
+        import json as _json
+
+        port = _json.loads(lines[-1][len("QTPU_SERVE_READY "):])["port"]
         imgs = np.random.default_rng(0).normal(
             size=(4, 28, 28, 1)).astype(np.float32)
         logits = _post_npy(f"http://127.0.0.1:{port}/predict", imgs)
