@@ -6,11 +6,19 @@ jitted QAT step (fake-quant forward with EMA observers + fake-BN, STE
 backward, adamw update) vs the plain fp32 step, same process, slope-fit.
 The gap is the fake-quant overhead a QAT user pays per step.
 
+Measurement design (hard-won on 2026-08-19): one slope-fit per variant is
+NOT enough here — at B=64 the fp32 step is ~60 ms, so a 32-step spread
+carries only ~2 s of signal against a tunnel whose per-call floor moves by
+±0.3-0.5 s over minutes.  Sequential per-variant fits produced physically
+impossible orderings twice (approx slower than exact; QAT faster than
+fp32).  This script therefore builds ALL variants first, then interleaves
+K independent slope-fits round-robin across variants (decorrelating the
+slow drift) and reports the per-variant median.
+
 Usage: python scripts/chip_qat_bench.py [variant-substr ...]
-  With args, only variants whose label contains any substring run (e.g.
-  ``approx`` reruns the two approx rows; ``fp32 exact approx`` anchors the
-  sim-side trio in one process).
+  With args, only variants whose label contains any substring run.
 """
+import statistics
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -30,13 +38,16 @@ from qtpu.train import create_train_state, make_train_step
 from qtpu.transform import convert_model
 
 KEY = jax.random.PRNGKey(0)
+BATCH = 64
+FITS = 3          # independent slope-fits per variant, interleaved
+N_SHORT, N_LONG = 4, 68
 
 
-def bench_step(model, batch):
+def build(model, batch):
     tx = optax.adamw(1e-3)
-    x0 = jax.random.normal(KEY, (batch, 224, 224, 3))
     y0 = jnp.zeros((batch,), jnp.int32)
-    state = create_train_state(model, KEY, x0[:2], tx)
+    x2 = jax.random.normal(KEY, (2, 224, 224, 3))
+    state = create_train_state(model, KEY, x2, tx)
     step = make_train_step(model, tx)
 
     # the train state is the scan carry: every param/opt-state/BN/observer
@@ -46,18 +57,12 @@ def bench_step(model, batch):
         s2, _ = step(s, x, y0)
         return s2
 
-    # n_long-n_short must put the slope well above the tunnel's launch-time
-    # noise (measured up to ~±0.5 s/call on busy days, with a fixed per-call
-    # overhead that reached ~14 s on 2026-08-18 — slope-fit cancels the
-    # fixed part, the spread must out-scale the noise).  The 4/20 spread
-    # produced one degenerate (negative-slope) fit on 2026-08-19; 4/36
-    # doubles the signal.
-    t = time_scan_fit(body, state, x0, n_short=4, n_long=36)
-    return batch / t
+    return state, body
 
 
 def main() -> int:
     wanted = sys.argv[1:]
+    variants = []
     for label, model in (
         ("fp32", get_model("resnet50", num_classes=1000, cifar_stem=False)),
         ("int8 QAT exact fake-BN",
@@ -83,10 +88,27 @@ def main() -> int:
     ):
         if wanted and not any(w in label for w in wanted):
             continue
-        for batch in (64,):
-            rate = bench_step(model, batch)
-            print(f"{label:28s} B={batch}: {rate:7.0f} img/s (train)",
-                  flush=True)
+        variants.append((label, *build(model, BATCH)))
+        print(f"built {label}", flush=True)
+
+    x = jax.random.normal(KEY, (BATCH, 224, 224, 3))
+    rates = {label: [] for label, *_ in variants}
+    for k in range(FITS):
+        for label, state, body in variants:
+            t = time_scan_fit(body, state, x, n_short=N_SHORT,
+                              n_long=N_LONG, reps=2)
+            rates[label].append(BATCH / t)
+            print(f"fit{k} {label:28s}: {BATCH / t:7.0f} img/s", flush=True)
+
+    print("\n=== medians (interleaved, same process) ===", flush=True)
+    base = None
+    for label, *_ in variants:
+        med = statistics.median(rates[label])
+        if base is None and label == "fp32":
+            base = med
+        rel = f"  ({med / base:4.2f}x of fp32)" if base else ""
+        print(f"{label:28s} B={BATCH}: {med:7.0f} img/s (train){rel}",
+              flush=True)
     return 0
 
 
