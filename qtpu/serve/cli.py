@@ -126,18 +126,36 @@ def build_engine(cfg, *, tp: int = 1, dp: Optional[int] = None,
             from qtpu.serve.mobilenet_v1_engine import MobileNetV1Int8Engine \
                 as _MNEngine
         nc = cfg.num_classes
-
-        def forward_factory(sv):
-            return _MNEngine(sv, num_classes=nc)._forward
-
-        serve_path = "flat-engine"
+        cell = {}
         if uint8_ingest:
-            raise SystemExit("--uint8-ingest needs a stem-grid flat engine "
-                             "(resnet18/resnet50): MobileNet engines take "
-                             "f32 images")
+            from qtpu.data.native import preprocess_quantize
+
+            def forward_factory(sv):
+                cell["eng"] = eng = _MNEngine(sv, num_classes=nc)
+                return lambda xq: eng._forward(xq, pre_quantized=True)
+
+            _mean = np.asarray(mean, np.float32) * np.ones(shape[-1],
+                                                           np.float32)
+            _std = np.asarray(std, np.float32) * np.ones(shape[-1],
+                                                         np.float32)
+
+            def preprocess_fn(imgs_u8):
+                if "grid" not in cell:
+                    s, zp = cell["eng"].stem_grid()[:2]
+                    cell["grid"] = (float(s), int(zp))
+                s, zp = cell["grid"]
+                return preprocess_quantize(imgs_u8, _mean, _std, s, zp)
+
+            raw_dtype = np.uint8
+            serve_path = "flat-engine+int8-ingest"
+        else:
+            def forward_factory(sv):
+                return _MNEngine(sv, num_classes=nc)._forward
+
+            serve_path = "flat-engine"
     elif uint8_ingest:
         raise SystemExit("--uint8-ingest needs a flat-engine arch "
-                         "(resnet18/resnet50 without excludes): the module "
+                         "(resnet/mobilenet without excludes): the module "
                          "SERVE path takes f32 images")
 
     engine = ServingEngine(

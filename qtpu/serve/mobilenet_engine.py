@@ -57,6 +57,18 @@ class MobileNetV2Int8Engine:
         if use_qivr:
             self._prepare_qivr()
         self.forward = jax.jit(self._forward)
+        # int8 ingest: images pre-quantized on the host onto the stem's grid
+        # (qtpu.data.native.preprocess_quantize) — 4x less transfer.
+        self.forward_codes = jax.jit(
+            lambda xq: self._forward(xq, pre_quantized=True))
+
+    def stem_grid(self):
+        """The (scale, zp) grid host-side ingest must quantize onto."""
+        node = self._node("stem")
+        if node is None:
+            raise ValueError("excluded (fp32) stem has no ingest grid — "
+                             "feed fp32 images via forward()")
+        return grid_of(node)
 
     def _node(self, *path: str) -> Optional[Dict[str, Array]]:
         node = self.qw
@@ -126,7 +138,7 @@ class MobileNetV2Int8Engine:
                     coeffs=ivr_coeffs(run, (tgt[0], tgt[1])))
             i = j
 
-    def _forward(self, x: Array) -> Array:
+    def _forward(self, x: Array, pre_quantized: bool = False) -> Array:
         blocks = self._blocks()
         stem = self._node("stem")
         head = self._node("head")
@@ -136,8 +148,11 @@ class MobileNetV2Int8Engine:
                 "excluded layers: use the module SERVE path")
 
         with annotate("stem"):
-            x_q = qops.quantize_act(x, stem["act_scale"], stem["act_zp"],
-                                    symmetric=grid_of(stem)[2])
+            if pre_quantized:            # int8 codes already on stem grid
+                x_q = x
+            else:
+                x_q = qops.quantize_act(x, stem["act_scale"], stem["act_zp"],
+                                        symmetric=grid_of(stem)[2])
             first = self._block_in_grid(blocks[0][0])
             x_q = conv_xla(x_q, stem, strides=(2, 2), relu=True, act_max=6.0,
                            requant=first)

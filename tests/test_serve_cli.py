@@ -134,6 +134,36 @@ def test_wedged_peer_round_timeout(tmp_path):
     assert "WORKER_WEDGE_OK" in outs[0], outs[0]
 
 
+def test_uint8_ingest_mobilenet_matches_f32_path():
+    """MobileNet engines also take int8-code ingest (round 3): uint8 wire →
+    stem-grid codes → same predictions as the f32 flat-engine path."""
+    from qtpu.examples.configs import CONFIGS
+    from qtpu.serve.cli import build_engine
+
+    cfg = dataclasses.replace(
+        CONFIGS["mobilenetv2_imagenet_int8_qat"],
+        image_size=64, n_train=8, calib_batches=1, batch_size=4)
+    x8 = np.random.default_rng(3).integers(0, 256, (4, 64, 64, 3),
+                                           dtype=np.uint8)
+    eng_u8, info_u8 = build_engine(cfg, buckets=(4,), uint8_ingest=True,
+                                   max_wait_ms=50.0)
+    assert info_u8["serve_path"] == "flat-engine+int8-ingest"
+    try:
+        y_codes = eng_u8.predict(x8)
+    finally:
+        eng_u8.stop()
+
+    eng_f32, _ = build_engine(cfg, buckets=(4,), uint8_ingest=False,
+                              max_wait_ms=50.0)
+    try:
+        y_f32 = eng_f32.predict(x8.astype(np.float32) / 255.0)
+    finally:
+        eng_f32.stop()
+
+    np.testing.assert_allclose(y_codes, y_f32, atol=1e-4)
+    assert (y_codes.argmax(-1) == y_f32.argmax(-1)).all()
+
+
 def test_build_engine_mobilenet_flat_path():
     """MobileNet configs serve through their flat int8 engines."""
     import dataclasses
