@@ -12,6 +12,7 @@ alone does not await remote execution here.
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Callable
 
 import jax
@@ -20,14 +21,19 @@ import numpy as np
 
 
 def time_scan_fit(body: Callable, init, *args, n_short: int = 50,
-                  n_long: int = 200, reps: int = 3) -> float:
+                  n_long: int = 200, reps: int = 3,
+                  compiler_options: dict | None = None) -> float:
     """Per-iteration seconds of ``body(carry, *args) -> carry``.
 
     ``body`` must return a carry with the same structure/shape as ``init``.
+    ``compiler_options`` applies per-program XLA backend options to the scan
+    chain (must be a TOP-level jit option — scripts/chip_xla_options_sweep
+    uses this for drift-free same-process flag A/Bs); ``body`` must then be
+    unjitted so it traces inline.
     """
 
     def total(length: int) -> float:
-        @jax.jit
+        @partial(jax.jit, compiler_options=compiler_options)
         def chain(c0, *rest):
             def f(c, _):
                 return body(c, *rest), ()
