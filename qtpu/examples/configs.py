@@ -77,6 +77,14 @@ CONFIGS = {
         dataset="imagenet", num_classes=1000, image_size=224, method="ptq",
         per_channel=True, act_observer="minmax", fold_bn=True, batch_size=16,
         n_train=2048, n_eval=512, fp32_epochs=2, serve=True),
+    # Beyond BASELINE.json: MobileNet-v1 is in the reference's model-zoo
+    # target set (SURVEY §1.2 R6); this config makes its flat int8 engine
+    # user-reachable from the run + serve CLIs.
+    "mobilenetv1_imagenet_int8_ptq": ExperimentConfig(
+        name="mobilenetv1_imagenet_int8_ptq", model="mobilenet_v1",
+        dataset="imagenet", num_classes=1000, image_size=224, method="ptq",
+        per_channel=True, act_observer="minmax", fold_bn=True, batch_size=16,
+        n_train=2048, n_eval=512, fp32_epochs=2),
     # BASELINE.json:11 — config 5
     "resnet50_int4w_int8a_qat": ExperimentConfig(
         name="resnet50_int4w_int8a_qat", model="resnet50",

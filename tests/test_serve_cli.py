@@ -134,14 +134,16 @@ def test_wedged_peer_round_timeout(tmp_path):
     assert "WORKER_WEDGE_OK" in outs[0], outs[0]
 
 
-def test_uint8_ingest_mobilenet_matches_f32_path():
+@pytest.mark.parametrize("config_name", ["mobilenetv2_imagenet_int8_qat",
+                                         "mobilenetv1_imagenet_int8_ptq"])
+def test_uint8_ingest_mobilenet_matches_f32_path(config_name):
     """MobileNet engines also take int8-code ingest (round 3): uint8 wire →
     stem-grid codes → same predictions as the f32 flat-engine path."""
     from qtpu.examples.configs import CONFIGS
     from qtpu.serve.cli import build_engine
 
     cfg = dataclasses.replace(
-        CONFIGS["mobilenetv2_imagenet_int8_qat"],
+        CONFIGS[config_name],
         image_size=64, n_train=8, calib_batches=1, batch_size=4)
     x8 = np.random.default_rng(3).integers(0, 256, (4, 64, 64, 3),
                                            dtype=np.uint8)
