@@ -17,18 +17,25 @@ from qtpu.transform import calibrate, convert_model, freeze
 KEY = jax.random.PRNGKey(0)
 
 
-@pytest.mark.parametrize("bottleneck,symmetric", [
-    (False, False), (True, False),
+@pytest.mark.parametrize("bottleneck,symmetric,width,num_classes", [
+    (False, False, 64, 10), (True, False, 64, 10),
     # symmetric act grids exercise the engine's ±127 requant path (the one
     # KL-calibrated configs use) — parity with the module SERVE path must
     # hold there too, not just for the affine default.
-    (False, True),
+    (False, True, 64, 10),
+    # shape fuzz: non-lane-aligned channels (width 48 -> 48/96/192/384
+    # stage channels) and an odd fc width — production checkpoints are not
+    # always 128-lane friendly; freeze+engine must not assume alignment.
+    (False, False, 48, 7),
+    (True, False, 40, 13),
 ])
-def test_engine_matches_module_serve(bottleneck, symmetric):
+def test_engine_matches_module_serve(bottleneck, symmetric, width,
+                                     num_classes):
     from qtpu.nn.config import LayerQuantSpec, QuantMode
 
     name = "resnet50" if bottleneck else "resnet18"
-    m = get_model(name, num_classes=10, cifar_stem=True)
+    m = get_model(name, num_classes=num_classes, cifar_stem=True,
+                  width=width)
     if bottleneck:  # shrink ResNet-50 for CPU test time
         m = m.clone(stage_sizes=(1, 1, 1, 1))
     x = jax.random.normal(KEY, (4, 32, 32, 3))
@@ -48,8 +55,8 @@ def test_engine_matches_module_serve(bottleneck, symmetric):
     y_module = jax.jit(sm.apply)(sv, x)
 
     arch = dict(stage_sizes=(1, 1, 1, 1) if bottleneck else (2, 2, 2, 2),
-                width=64, bottleneck=bottleneck, cifar_stem=True,
-                num_classes=10)
+                width=width, bottleneck=bottleneck, cifar_stem=True,
+                num_classes=num_classes)
     eng = ResNetInt8Engine(sv, arch, use_pallas=False)
     y_eng = eng.forward(x)
     rel = float(jnp.linalg.norm(y_eng - y_module) /
