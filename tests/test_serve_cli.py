@@ -166,6 +166,47 @@ def test_uint8_ingest_mobilenet_matches_f32_path(config_name):
     assert (y_codes.argmax(-1) == y_f32.argmax(-1)).all()
 
 
+def test_save_frozen_load_frozen_roundtrip(tmp_path):
+    """The freeze-once-serve-many flow: --save-frozen writes the integer
+    weights; a fresh --load-frozen engine (no calibration pass) serves the
+    same predictions."""
+    from qtpu.examples.configs import CONFIGS
+    from qtpu.serve.cli import build_engine
+
+    cfg = dataclasses.replace(
+        CONFIGS["lenet_mnist_int8"], n_train=64, calib_batches=2,
+        batch_size=16)
+    frozen = str(tmp_path / "frozen")
+    x = np.random.default_rng(5).normal(size=(4, 28, 28, 1)).astype(
+        np.float32)
+
+    eng_a, _ = build_engine(cfg, buckets=(4,), max_wait_ms=50.0,
+                            save_frozen=frozen)
+    try:
+        y_a = eng_a.predict(x)
+    finally:
+        eng_a.stop()
+
+    eng_b, _ = build_engine(cfg, buckets=(4,), max_wait_ms=50.0,
+                            load_frozen=frozen)
+    try:
+        y_b = eng_b.predict(x)
+    finally:
+        eng_b.stop()
+
+    np.testing.assert_allclose(y_a, y_b, atol=1e-5)
+
+
+def test_uint8_ingest_rejected_for_module_path():
+    """--uint8-ingest requires a stem-grid flat engine; the module SERVE
+    path (e.g. LeNet) must fail fast, not silently mis-serve."""
+    from qtpu.examples.configs import CONFIGS
+    from qtpu.serve.cli import build_engine
+
+    with pytest.raises(SystemExit, match="flat-engine"):
+        build_engine(CONFIGS["lenet_mnist_int8"], uint8_ingest=True)
+
+
 def test_build_engine_mobilenet_flat_path():
     """MobileNet configs serve through their flat int8 engines."""
     import dataclasses
