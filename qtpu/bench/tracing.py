@@ -181,7 +181,7 @@ def main() -> int:
     ap.add_argument("json_out", nargs="?", default=None,
                     help="optional JSON artifact path")
     ap.add_argument("--model", default="resnet50",
-                    choices=("resnet50", "mobilenet_v2"))
+                    choices=("resnet50", "mobilenet_v2", "mobilenet_v1"))
     args = ap.parse_args()
 
     # NOTE: no enable_persistent_cache() here — the JAX compilation-cache key
@@ -193,7 +193,7 @@ def main() -> int:
     key = jax.random.PRNGKey(0)
     model = (get_model("resnet50", num_classes=1000, cifar_stem=False)
              if args.model == "resnet50"
-             else get_model("mobilenet_v2", num_classes=1000))
+             else get_model(args.model, num_classes=1000))
     x0 = jax.random.normal(key, (8, 224, 224, 3))
     qm = convert_model(model, QuantPolicy.int8_ptq())
     qv = jax.jit(qm.init, static_argnames="train")(key, x0, train=True)
@@ -205,10 +205,14 @@ def main() -> int:
         arch = dict(stage_sizes=(3, 4, 6, 3), width=64, bottleneck=True,
                     cifar_stem=False, num_classes=1000)
         eng = ResNetInt8Engine(sv, arch)
-    else:
+    elif args.model == "mobilenet_v2":
         from qtpu.serve.mobilenet_engine import MobileNetV2Int8Engine
 
         eng = MobileNetV2Int8Engine(sv, num_classes=1000)
+    else:
+        from qtpu.serve.mobilenet_v1_engine import MobileNetV1Int8Engine
+
+        eng = MobileNetV1Int8Engine(sv, num_classes=1000)
     x = jax.random.normal(key, (batch, 224, 224, 3))
     steps = 10
     path = capture_trace(eng.forward, x, steps=steps)
