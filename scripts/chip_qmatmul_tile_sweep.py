@@ -6,7 +6,9 @@ process (drift-free) to see whether any tiling clears 90%: interleaved
 2-trial slope-fits per shape, correctness asserted against the default
 tiling's output before timing.
 
-Usage: python scripts/chip_qmatmul_tile_sweep.py [M] [K] [N]
+Usage: python scripts/chip_qmatmul_tile_sweep.py [M] [K] [N] [--int4]
+  --int4: weights packed 2-per-byte, unpacked in VMEM (the config-5 serving
+  weight format) — measures the in-kernel-unpack path's % of int8 peak.
 """
 import statistics
 import sys
@@ -22,11 +24,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from qtpu.bench.timing import V5E_INT8_OPS, time_scan_fit
-from qtpu.ops.pallas.qmatmul import qmatmul_fused
+from qtpu.ops.pallas.qmatmul import pack_int4_halves, qmatmul_fused
 
-M = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-K = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
-N = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
+INT4 = "--int4" in sys.argv
+argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+M = int(argv[0]) if len(argv) > 0 else 4096
+K = int(argv[1]) if len(argv) > 1 else 4096
+N = int(argv[2]) if len(argv) > 2 else 4096
 KEY = jax.random.PRNGKey(0)
 
 TILES = [
@@ -46,18 +50,23 @@ TILES = [
 def main() -> int:
     k1, k2 = jax.random.split(KEY)
     x_q = jax.random.randint(k1, (M, K), -127, 128, jnp.int8)
-    w_q = jax.random.randint(k2, (K, N), -127, 128, jnp.int8)
+    lim = 8 if INT4 else 128
+    w_q = jax.random.randint(k2, (K, N), -lim + 1, lim, jnp.int8)
     kw = dict(act_scale=jnp.float32(0.02), act_zp=jnp.int32(3),
               w_scale=jnp.abs(jax.random.normal(KEY, (N,))) * 0.01 + 1e-3,
-              colsum=jnp.sum(w_q.astype(jnp.int32), 0))
+              colsum=jnp.sum(w_q.astype(jnp.int32), 0),
+              w_packed=INT4)
 
     y_ref = None
     good = []
     for bm, bn, bk in TILES:
         if M % bm or N % bn or K % bk:
             continue
+        if INT4 and (bn // 2) % 128:
+            continue
         try:
-            y = qmatmul_fused(x_q, w_q, bm=bm, bn=bn, bk=bk, **kw)
+            w_in = pack_int4_halves(w_q, bn) if INT4 else w_q
+            y = qmatmul_fused(x_q, w_in, bm=bm, bn=bn, bk=bk, **kw)
             y = np.asarray(y)
             if y_ref is None:
                 y_ref = y
@@ -71,8 +80,10 @@ def main() -> int:
     rates = {t: [] for t in good}
     for trial in range(2):
         for bm, bn, bk in good:
-            def body(c):
-                y = qmatmul_fused(c, w_q, bm=bm, bn=bn, bk=bk, **kw)
+            w_in = pack_int4_halves(w_q, bn) if INT4 else w_q
+
+            def body(c, w_in=w_in, bm=bm, bn=bn, bk=bk):
+                y = qmatmul_fused(c, w_in, bm=bm, bn=bn, bk=bk, **kw)
                 # chain: fold the f32 output back into the int8 carry
                 return (c.astype(jnp.int32)
                         + (y[:1, :1] * 0).astype(jnp.int32)).astype(jnp.int8)
