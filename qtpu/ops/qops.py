@@ -65,6 +65,51 @@ def qconv2d(x_q: Array, w_q: Array, *, strides: Tuple[int, int] = (1, 1),
         preferred_element_type=jnp.int32)
 
 
+def qdepthwise_shifted(x_q: Array, w_q: Array, *,
+                       strides: Tuple[int, int] = (1, 1),
+                       padding: Union[str, Sequence[Tuple[int, int]]] = "SAME",
+                       zp: Optional[Array] = None) -> Array:
+    """Depthwise int8 conv as kh·kw shifted elementwise FMAs (no conv op).
+
+    Bit-identical to ``qconv2d(..., groups=C)`` (int32 accumulation over the
+    same taps).  Rationale: XLA's grouped-conv kernels run at 186-409 GB/s
+    effective on MobileNet shapes (round-2/3 traces) while long elementwise
+    chains run at HBM rate (scripts/chip_vpu_bench.py) — expressing the
+    9-tap depthwise as strided-slice multiplies keeps the whole layer in
+    XLA elementwise fusions with NO custom call (so no scoped-VMEM
+    residency break, unlike the Pallas qdepthwise/qivr attempts).
+    ``w_q``: HWIO with I==1, O==C (the grouped-conv kernel layout).
+    """
+    debug.check_int_inputs(x_q, w_q, what="qdepthwise_shifted")
+    kh, kw, i_dim, c = w_q.shape
+    assert i_dim == 1 and c == x_q.shape[-1], (w_q.shape, x_q.shape)
+    if isinstance(padding, str) and padding.upper() == "SAME":
+        pads = same_pads(x_q.shape[1:3], (kh, kw), strides)
+    elif isinstance(padding, str):
+        pads = ((0, 0), (0, 0))
+    else:
+        pads = tuple(padding)
+    if any(p != (0, 0) for p in pads):
+        pad_val = (jnp.zeros((), x_q.dtype) if zp is None
+                   else zp.astype(x_q.dtype))
+        x_q = jax.lax.pad(x_q, pad_val,
+                          ((0, 0, 0), (*pads[0], 0), (*pads[1], 0), (0, 0, 0)))
+    sh, sw = strides
+    hp, wp = x_q.shape[1:3]
+    ho, wo = (hp - kh) // sh + 1, (wp - kw) // sw + 1
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            tap = jax.lax.slice(
+                x_q, (0, dy, dx, 0),
+                (x_q.shape[0], dy + (ho - 1) * sh + 1,
+                 dx + (wo - 1) * sw + 1, c),
+                (1, sh, sw, 1)).astype(jnp.int32)
+            term = tap * w_q[dy, dx, 0, :].astype(jnp.int32)
+            acc = term if acc is None else acc + term
+    return acc
+
+
 def qmatmul(x_q: Array, w_q: Array) -> Array:
     """int8 (…, K) × int8 (K, N) → int32 (…, N)."""
     debug.check_int_inputs(x_q, w_q, what="qmatmul")

@@ -37,7 +37,13 @@ class MobileNetV2Int8Engine:
 
     def __init__(self, variables: Dict[str, Any], num_classes: int,
                  use_pallas: bool = False, use_qivr: bool = False,
-                 qivr_interpret: bool = False):
+                 qivr_interpret: bool = False, dw_shifted: bool = False):
+        # dw_shifted: depthwise convs as shifted elementwise FMAs (pure XLA,
+        # bit-exact — qops.qdepthwise_shifted) instead of the grouped-conv
+        # op; targets the measured 186-409 GB/s grouped-conv ceiling with
+        # the HBM-rate elementwise-fusion path. Opt-in pending the chip A/B
+        # (scripts/chip_dw_shifted_ab.py).
+        self.dw_shifted = dw_shifted
         # use_pallas=False by default: MobileNet's channel counts are mostly
         # not lane-aligned, so the (M, C) reshapes around the Pallas GEMMs are
         # physical relayouts (measured 12.4k vs 16.9k img/s at B=64); the XLA
@@ -192,7 +198,8 @@ class MobileNetV2Int8Engine:
                 c = y.shape[-1]
                 y = conv_xla(y, dw, strides=(stride, stride), groups=c,
                              relu=True, act_max=6.0,
-                             requant=grid_of(project))
+                             requant=grid_of(project),
+                             dw_shifted=self.dw_shifted)
                 if stride == 1 and x_q.shape[-1] == cout:
                     # inverted residual: add fused into the project epilogue
                     x_q = gemm_1x1(y, project, relu=False, requant=nxt,

@@ -36,14 +36,16 @@ class MobileNetV1Int8Engine:
     """Flat int8 inference over frozen MobileNet-v1 qweights."""
 
     def __init__(self, variables: Dict[str, Any], num_classes: int,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, dw_shifted: bool = False):
         # use_pallas=False default for the same reason as the v2 engine:
         # MobileNet channel counts are mostly not lane-aligned, so the (M, C)
         # reshapes around Pallas GEMMs are physical relayouts; the XLA NHWC
         # path fuses the same folded epilogues without them.
+        # dw_shifted: see MobileNetV2Int8Engine (same opt-in experiment).
         self.qw = variables["qweights"]
         self.num_classes = num_classes
         self.use_pallas = use_pallas
+        self.dw_shifted = dw_shifted
         self.forward = jax.jit(self._forward)
         # int8 ingest: images pre-quantized on the host onto the stem's grid
         # (qtpu.data.native.preprocess_quantize) — 4x less transfer.
@@ -97,7 +99,7 @@ class MobileNetV1Int8Engine:
             with annotate(f"block{i}"):
                 c = x_q.shape[-1]
                 y = conv_xla(x_q, dw, strides=(s, s), groups=c, relu=True,
-                             requant=grid_of(pw))
+                             requant=grid_of(pw), dw_shifted=self.dw_shifted)
                 x_q = gemm_1x1(y, pw, relu=True, requant=nxt,
                                out_dtype=jnp.int8 if nxt is not None
                                else jnp.float32,
