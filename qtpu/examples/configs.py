@@ -30,6 +30,7 @@ class ExperimentConfig:
     qat_forward: str = "sim"      # 'sim' | 'int' (QAT conv engine)
     exclude: Tuple[str, ...] = ()
     cifar_stem: bool = False
+    width: Optional[int] = None   # ResNet base width override (tests/CI)
     # training / calibration budget (sized for the offline synthetic data;
     # scale up via CLI overrides when real data is present)
     fp32_epochs: int = 3

@@ -29,24 +29,45 @@ from qtpu.transform import (calibrate, convert_model, quantize_variables,
 from qtpu.utils.cache import enable_persistent_cache
 
 
-def build_model(cfg: ExperimentConfig, quant=None):
+def build_model(cfg: ExperimentConfig, quant=None, torch_pad: bool = False):
     kwargs = dict(num_classes=cfg.num_classes, quant=quant)
     if cfg.model in ("resnet18", "resnet50"):
         kwargs["cifar_stem"] = cfg.cifar_stem
+        if cfg.width is not None:
+            kwargs["width"] = cfg.width
+    if torch_pad:
+        # torchvision checkpoint geometry (qtpu/data/import_torch.py)
+        kwargs["torch_pad"] = True
     return get_model(cfg.model, **kwargs)
 
 
 def run_experiment(cfg: ExperimentConfig, seed: int = 0, verbose: bool = True,
                    save_state: Optional[str] = None,
-                   load_state: Optional[str] = None) -> dict:
+                   load_state: Optional[str] = None,
+                   torch_ckpt: Optional[str] = None) -> dict:
     enable_persistent_cache()
     key = jax.random.PRNGKey(seed)
     train_ds = load_dataset(cfg.dataset, "train", n=cfg.n_train, seed=seed)
     eval_ds = load_dataset(cfg.dataset, "test", n=cfg.n_eval, seed=seed)
 
-    # --- fp32 baseline (train, or resume from an orbax checkpoint) ---
-    model = build_model(cfg)
-    if load_state:
+    # --- fp32 baseline (train, resume from an orbax checkpoint, or import
+    # a pretrained torch/torchvision .pth — the reference's model-zoo entry
+    # workflow, SURVEY.md §1.2 R1/R6) ---
+    model = build_model(cfg, torch_pad=bool(torch_ckpt))
+    if torch_ckpt:
+        from qtpu.data.import_torch import (import_torch_state,
+                                            load_torch_checkpoint)
+        from qtpu.train import create_train_state
+
+        tx = optax.adamw(cfg.lr)
+        state = create_train_state(model, key,
+                                   jnp.asarray(train_ds.images[:2]), tx)
+        imported = import_torch_state(
+            cfg.model, load_torch_checkpoint(torch_ckpt), state.variables())
+        state = state.replace(params=imported["params"],
+                              extra={k: v for k, v in imported.items()
+                                     if k != "params"})
+    elif load_state:
         from qtpu.train import create_train_state
         from qtpu.utils import checkpoint as ckpt
 
@@ -173,6 +194,10 @@ def main(argv=None) -> int:
                    help="override config fields, e.g. --set fp32_epochs=5")
     p.add_argument("--save-state", help="save fp32 baseline variables (orbax)")
     p.add_argument("--load-state", help="resume fp32 baseline from checkpoint")
+    p.add_argument("--torch-ckpt",
+                   help="import a pretrained torchvision-convention .pth as "
+                        "the fp32 baseline (skips fp32 training; implies "
+                        "torch_pad geometry)")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -192,7 +217,8 @@ def main(argv=None) -> int:
             value = field_type(v)
         cfg = dataclasses.replace(cfg, **{k: value})
     run_experiment(cfg, seed=args.seed, verbose=not args.quiet,
-                   save_state=args.save_state, load_state=args.load_state)
+                   save_state=args.save_state, load_state=args.load_state,
+                   torch_ckpt=args.torch_ckpt)
     return 0
 
 

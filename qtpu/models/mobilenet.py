@@ -29,18 +29,29 @@ def _round_ch(ch: float, divisor: int = 8) -> int:
     return new
 
 
+def _pad3(torch_pad: bool):
+    """3x3-conv padding: explicit (1,1) under torch geometry, else SAME.
+
+    Identical for stride 1; for stride 2 torch pads (1,1) where XLA's SAME
+    pads (0,1) — explicit padding keeps imported torch checkpoints
+    spatially faithful (see qtpu/data/import_torch.py)."""
+    return ((1, 1), (1, 1)) if torch_pad else "SAME"
+
+
 class DWSeparable(nn.Module):
     """Depthwise 3x3 + pointwise 1x1 (MobileNet-v1 block)."""
 
     features: int
     strides: Tuple[int, int] = (1, 1)
     quant: Optional[QuantPolicy] = None
+    torch_pad: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         q = self.quant
         c = x.shape[-1]
-        x = ConvBN(c, (3, 3), self.strides, groups=c, act=jax.nn.relu,
+        x = ConvBN(c, (3, 3), self.strides, padding=_pad3(self.torch_pad),
+                   groups=c, act=jax.nn.relu,
                    quant=q, name="dw")(x, train=train)
         x = ConvBN(self.features, (1, 1), act=jax.nn.relu, quant=q,
                    name="pw")(x, train=train)
@@ -51,18 +62,20 @@ class MobileNetV1(nn.Module):
     num_classes: int = 1000
     width_mult: float = 1.0
     quant: Optional[QuantPolicy] = None
+    torch_pad: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         q = self.quant
         w = lambda c: _round_ch(c * self.width_mult)
-        x = ConvBN(w(32), (3, 3), (2, 2), act=jax.nn.relu, quant=q,
+        x = ConvBN(w(32), (3, 3), (2, 2), padding=_pad3(self.torch_pad),
+                   act=jax.nn.relu, quant=q,
                    name="stem")(x, train=train)
         cfg = [(64, 1), (128, 2), (128, 1), (256, 2), (256, 1), (512, 2),
                (512, 1), (512, 1), (512, 1), (512, 1), (512, 1), (1024, 2),
                (1024, 1)]
         for i, (c, s) in enumerate(cfg):
-            x = DWSeparable(w(c), (s, s), quant=q,
+            x = DWSeparable(w(c), (s, s), quant=q, torch_pad=self.torch_pad,
                             name=f"block{i}")(x, train=train)
         x = jnp.mean(x, axis=(1, 2))
         return QuantDense(self.num_classes, quant=q, name="fc")(x)
@@ -75,6 +88,7 @@ class InvertedResidual(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     expand: int = 6
     quant: Optional[QuantPolicy] = None
+    torch_pad: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -85,7 +99,8 @@ class InvertedResidual(nn.Module):
         if self.expand != 1:
             y = ConvBN(hidden, (1, 1), act=relu6, quant=q,
                        name="expand")(y, train=train)
-        y = ConvBN(hidden, (3, 3), self.strides, groups=hidden, act=relu6,
+        y = ConvBN(hidden, (3, 3), self.strides, padding=_pad3(self.torch_pad),
+                   groups=hidden, act=relu6,
                    quant=q, name="dw")(y, train=train)
         y = ConvBN(self.features, (1, 1), quant=q,
                    name="project")(y, train=train)
@@ -98,12 +113,14 @@ class MobileNetV2(nn.Module):
     num_classes: int = 1000
     width_mult: float = 1.0
     quant: Optional[QuantPolicy] = None
+    torch_pad: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         q = self.quant
         w = lambda c: _round_ch(c * self.width_mult)
-        x = ConvBN(w(32), (3, 3), (2, 2), act=relu6, quant=q,
+        x = ConvBN(w(32), (3, 3), (2, 2), padding=_pad3(self.torch_pad),
+                   act=relu6, quant=q,
                    name="stem")(x, train=train)
         # (expand, out_ch, repeats, stride) — standard v2 schedule
         cfg = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
@@ -113,6 +130,7 @@ class MobileNetV2(nn.Module):
             for j in range(n):
                 stride = s if j == 0 else 1
                 x = InvertedResidual(w(c), (stride, stride), expand=t, quant=q,
+                                     torch_pad=self.torch_pad,
                                      name=f"block{idx}")(x, train=train)
                 idx += 1
         x = ConvBN(w(1280) if self.width_mult > 1.0 else 1280, (1, 1),
