@@ -40,6 +40,8 @@ def build_engine(cfg, *, tp: int = 1, dp: Optional[int] = None,
                  buckets: Sequence[int] = (8, 32, 128),
                  uint8_ingest: bool = False,
                  load_state: Optional[str] = None,
+                 torch_ckpt: Optional[str] = None,
+                 torch_pad: bool = False,
                  load_frozen: Optional[str] = None,
                  save_frozen: Optional[str] = None,
                  max_wait_ms: float = 2.0,
@@ -57,14 +59,19 @@ def build_engine(cfg, *, tp: int = 1, dp: Optional[int] = None,
     key = jax.random.PRNGKey(seed)
     shape = (cfg.image_size, cfg.image_size, 1 if cfg.dataset == "mnist" else 3)
 
+    # torch checkpoints carry torchvision stride-2 geometry; the flat
+    # engines are SAME-geometry, so serve them through the module path
+    # with torch_pad models (qtpu/data/import_torch.py)
+    torch_pad = torch_pad or bool(torch_ckpt)
     if load_frozen:
         from qtpu.utils import checkpoint as ckpt
 
         svars = ckpt.load(load_frozen)
-        smodel = _serve_module(cfg)
+        smodel = _serve_module(cfg, torch_pad=torch_pad)
     else:
         smodel, svars = _freeze_from_config(cfg, key, shape,
-                                            load_state=load_state)
+                                            load_state=load_state,
+                                            torch_ckpt=torch_ckpt)
     if save_frozen:
         from qtpu.utils import checkpoint as ckpt
 
@@ -82,7 +89,9 @@ def build_engine(cfg, *, tp: int = 1, dp: Optional[int] = None,
     preprocess_fn = None
     raw_dtype = np.float32
     serve_path = "module"
-    if cfg.model in ("resnet18", "resnet50") and not cfg.exclude:
+    if torch_pad:
+        pass  # module path only (flat engines assume SAME geometry)
+    elif cfg.model in ("resnet18", "resnet50") and not cfg.exclude:
         from qtpu.serve.resnet_engine import ResNetInt8Engine
 
         arch = dict(
@@ -171,19 +180,22 @@ def build_engine(cfg, *, tp: int = 1, dp: Optional[int] = None,
     return engine, info
 
 
-def _serve_module(cfg):
+def _serve_module(cfg, torch_pad: bool = False):
     """The SERVE-mode module matching a config (structure for frozen vars)."""
     from qtpu.nn import QuantMode
     from qtpu.transform import convert_model, set_mode
 
     from qtpu.examples.run import build_model
 
-    return set_mode(convert_model(build_model(cfg), cfg.policy()),
-                    QuantMode.SERVE)
+    return set_mode(
+        convert_model(build_model(cfg, torch_pad=torch_pad), cfg.policy()),
+        QuantMode.SERVE)
 
 
-def _freeze_from_config(cfg, key, shape, load_state: Optional[str] = None):
-    """Convert → (restore fp32 state) → calibrate → freeze, per the config."""
+def _freeze_from_config(cfg, key, shape, load_state: Optional[str] = None,
+                        torch_ckpt: Optional[str] = None):
+    """Convert → (restore fp32 state or import a pretrained torch .pth) →
+    calibrate → freeze, per the config."""
     import jax
     import jax.numpy as jnp
 
@@ -192,12 +204,18 @@ def _freeze_from_config(cfg, key, shape, load_state: Optional[str] = None):
 
     from qtpu.examples.run import build_model
 
-    model = build_model(cfg)
+    model = build_model(cfg, torch_pad=bool(torch_ckpt))
     qmodel = convert_model(model, cfg.policy())
     ds = load_dataset(cfg.dataset, "train", n=cfg.n_train, seed=0)
     x0 = jnp.asarray(ds.images[:max(2, min(cfg.batch_size, 8))])
     qvars = dict(jax.jit(qmodel.init, static_argnames="train")(
         key, x0, train=True))
+    if torch_ckpt:
+        from qtpu.data.import_torch import (import_torch_state,
+                                            load_torch_checkpoint)
+
+        qvars = dict(import_torch_state(
+            cfg.model, load_torch_checkpoint(torch_ckpt), qvars))
     if load_state:
         from qtpu.utils import checkpoint as ckpt
 
@@ -251,6 +269,13 @@ def main(argv=None) -> int:
     p.add_argument("--std", default="1.0",
                    help="per-channel normalize std(s), for --uint8-ingest")
     p.add_argument("--load-state", help="fp32/QAT orbax checkpoint to quantize")
+    p.add_argument("--torch-ckpt",
+                   help="pretrained torchvision-convention .pth to import as "
+                        "the fp32 baseline (module serve path, torch_pad "
+                        "geometry)")
+    p.add_argument("--torch-pad", action="store_true",
+                   help="with --load-frozen: the frozen tree came from a "
+                        "torch_pad (torchvision-geometry) model")
     p.add_argument("--load-frozen", help="orbax tree of frozen serve weights")
     p.add_argument("--save-frozen", help="save the frozen serve weights here")
     p.add_argument("--seed", type=int, default=0)
@@ -272,6 +297,7 @@ def main(argv=None) -> int:
         cfg, tp=args.tp, dp=args.dp,
         buckets=tuple(int(b) for b in args.buckets.split(",") if b),
         uint8_ingest=args.uint8_ingest, load_state=args.load_state,
+        torch_ckpt=args.torch_ckpt, torch_pad=args.torch_pad,
         load_frozen=args.load_frozen, save_frozen=args.save_frozen,
         max_wait_ms=args.max_wait_ms, round_timeout_s=args.round_timeout,
         mean=[float(v) for v in args.mean.split(",")],

@@ -274,6 +274,39 @@ def test_run_cli_torch_ckpt(tmp_path, capsys):
     assert abs(result["quant_top1"] - result["fp32_top1"]) <= 0.25
 
 
+def test_serve_torch_ckpt_module_path(tmp_path):
+    """Serving stack built straight from a pretrained torch .pth
+    (`python -m qtpu.serve --torch-ckpt ...`): forced onto the module
+    serve path (flat engines assume SAME geometry), int8 predictions
+    track the imported fp32 torch net."""
+    import dataclasses
+
+    from qtpu.examples.configs import CONFIGS
+    from qtpu.serve.cli import build_engine
+
+    tnet = TVResNet(TVBasicBlock, (2, 2, 2, 2), width=8, nclass=10)
+    _randomize(tnet, seed=5)
+    tnet.eval()
+    path = str(tmp_path / "r18.pth")
+    torch.save(tnet.state_dict(), path)
+    cfg = dataclasses.replace(
+        CONFIGS["resnet18_cifar10_int8_kl"], cifar_stem=False, width=8,
+        act_observer="minmax", n_train=64, calib_batches=1, batch_size=16)
+    engine, info = build_engine(cfg, buckets=(4,), max_wait_ms=50.0,
+                                torch_ckpt=path)
+    assert info["serve_path"] == "module"
+    x = np.random.default_rng(2).random((4, 32, 32, 3)).astype(np.float32)
+    try:
+        logits = engine.predict(x)
+    finally:
+        engine.stop()
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    assert logits.shape == (4, 10)
+    agree = float(np.mean(logits.argmax(-1) == ref.argmax(-1)))
+    assert agree >= 0.75, agree
+
+
 def test_ptq_after_import():
     """Reference workflow e2e: pretrained torch weights -> convert ->
     calibrate -> int8 eval tracks the imported fp32 model."""
