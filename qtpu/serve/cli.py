@@ -259,6 +259,8 @@ def main(argv=None) -> int:
     p.add_argument("--buckets", default="8,32,128",
                    help="comma-separated batch buckets")
     p.add_argument("--max-wait-ms", type=float, default=2.0)
+    p.add_argument("--max-body-mb", type=float, default=256.0,
+                   help="reject POST bodies larger than this (HTTP 413)")
     p.add_argument("--round-timeout", type=float, default=None,
                    help="multi-host lockstep round deadline in seconds")
     p.add_argument("--uint8-ingest", action="store_true",
@@ -315,7 +317,8 @@ def main(argv=None) -> int:
     signal.signal(signal.SIGINT, _sig)
     signal.signal(signal.SIGTERM, _sig)
     server, thread = serve_http(engine, host=args.host, port=args.port,
-                                block=False)
+                                block=False,
+                                max_body_bytes=int(args.max_body_mb * 2**20))
     info.update(distributed=bool(distributed), host=args.host,
                 port=int(server.server_address[1]))
     print("QTPU_SERVE_READY " + json.dumps(info), flush=True)

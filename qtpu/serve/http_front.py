@@ -36,8 +36,12 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+DEFAULT_MAX_BODY_BYTES = 256 << 20   # 256 MiB ≈ B=1024 of 224² f32 images
+
+
 class _Handler(BaseHTTPRequestHandler):
     engine = None                     # set by serve_http
+    max_body_bytes = DEFAULT_MAX_BODY_BYTES   # set by serve_http
     protocol_version = "HTTP/1.1"
 
     def log_message(self, fmt, *args):   # quiet by default
@@ -47,6 +51,8 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
@@ -67,8 +73,29 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path != "/predict":
             self._send_json(404, {"error": f"no route {self.path}"})
             return
+        # Reject before buffering: an unbounded Content-Length read would let
+        # one oversized request OOM the serving host.  Mildly-oversized bodies
+        # are drained in bounded chunks so the client receives the 413 (an
+        # immediate close surfaces as a broken pipe mid-send); absurd ones
+        # (>4x the limit) just close.
+        n = int(self.headers.get("Content-Length", "0"))
+        if n > self.max_body_bytes:
+            self.close_connection = True
+            if n <= 4 * self.max_body_bytes:
+                left = n
+                while left > 0:
+                    chunk = self.rfile.read(min(left, 1 << 20))
+                    if not chunk:
+                        break
+                    left -= len(chunk)
+            self._send_json(413, {"error": f"body {n} bytes exceeds limit "
+                                           f"{self.max_body_bytes}"})
+            return
+        if not getattr(self.engine, "healthy", True):
+            self.close_connection = True
+            self._send_json(503, {"error": "engine stopped or unhealthy"})
+            return
         try:
-            n = int(self.headers.get("Content-Length", "0"))
             arr = np.load(io.BytesIO(self.rfile.read(n)), allow_pickle=False)
             if arr.ndim == 3:
                 arr = arr[None]
@@ -77,19 +104,28 @@ class _Handler(BaseHTTPRequestHandler):
             np.save(buf, np.asarray(logits))
             self._send(200, buf.getvalue(), "application/octet-stream")
         except Exception as e:  # surface engine/deser errors to the client
-            self._send_json(400, {"error": str(e)})
+            # An engine that died mid-request is a server condition (503),
+            # not a client error (400).
+            if not getattr(self.engine, "healthy", True):
+                self._send_json(503, {"error": str(e)})
+            else:
+                self._send_json(400, {"error": str(e)})
 
 
 def serve_http(engine, host: str = "0.0.0.0", port: int = 8000,
-               block: bool = True
+               block: bool = True,
+               max_body_bytes: int = DEFAULT_MAX_BODY_BYTES
                ) -> Tuple[ThreadingHTTPServer, Optional[threading.Thread]]:
     """Serve ``engine`` over HTTP; returns (server, thread).
 
     ``block=False`` runs the server on a daemon thread (tests/embedding);
     call ``server.shutdown()`` to stop.  The engine's own scheduler thread
     keeps batching across concurrent requests either way.
+    ``max_body_bytes`` caps POST bodies (oversized requests get 413 without
+    being buffered).
     """
-    handler = type("BoundHandler", (_Handler,), {"engine": engine})
+    handler = type("BoundHandler", (_Handler,),
+                   {"engine": engine, "max_body_bytes": int(max_body_bytes)})
     server = ThreadingHTTPServer((host, port), handler)
     if block:
         server.serve_forever()
