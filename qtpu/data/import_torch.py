@@ -33,6 +33,15 @@ The import is strict both ways: every qtpu parameter must be filled with a
 shape-matching tensor, and every checkpoint tensor (except
 ``num_batches_tracked`` bookkeeping) must be consumed — naming or
 architecture drift fails loudly instead of silently zero-filling.
+
+Coverage is resnet18/resnet50/mobilenet_v2 — the three served families with
+a canonical torchvision naming convention.  **mobilenet_v1 is a conscious
+omission**: torchvision ships no MobileNet-v1, so there is no canonical
+``state_dict`` naming to map from; third-party v1 checkpoints disagree on
+layer names and would need a per-source mapping.  lenet5 likewise has no
+zoo convention.  ``supported_models()`` is the authoritative registry —
+CLIs validate against it before building a model so the user sees this
+explanation, not a shape/kwarg error.
 """
 from __future__ import annotations
 
@@ -45,6 +54,7 @@ __all__ = [
     "import_torch_state",
     "import_resnet_state",
     "import_mobilenet_v2_state",
+    "supported_models",
 ]
 
 
@@ -219,6 +229,12 @@ _IMPORTERS = {
     "resnet50": import_resnet_state,
     "mobilenet_v2": import_mobilenet_v2_state,
 }
+
+
+def supported_models() -> tuple:
+    """Model-registry names with a torch importer (see module docstring for
+    why mobilenet_v1/lenet5 are absent)."""
+    return tuple(sorted(_IMPORTERS))
 
 
 def import_torch_state(model_name: str, state_dict: Mapping[str, Any],

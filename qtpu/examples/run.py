@@ -46,6 +46,18 @@ def run_experiment(cfg: ExperimentConfig, seed: int = 0, verbose: bool = True,
                    load_state: Optional[str] = None,
                    torch_ckpt: Optional[str] = None) -> dict:
     enable_persistent_cache()
+    if torch_ckpt:
+        # validate against the importer registry BEFORE building the model:
+        # unsupported models (lenet5, mobilenet_v1 — no torchvision naming
+        # convention) must fail with the registry's explanation, not an
+        # opaque 'unexpected keyword torch_pad' dataclass error.
+        from qtpu.data.import_torch import supported_models
+
+        if cfg.model not in supported_models():
+            raise SystemExit(
+                f"--torch-ckpt: no torch importer for '{cfg.model}' "
+                f"(available: {', '.join(supported_models())}; see "
+                f"qtpu/data/import_torch.py for why)")
     key = jax.random.PRNGKey(seed)
     train_ds = load_dataset(cfg.dataset, "train", n=cfg.n_train, seed=seed)
     eval_ds = load_dataset(cfg.dataset, "test", n=cfg.n_eval, seed=seed)
@@ -143,9 +155,12 @@ def run_experiment(cfg: ExperimentConfig, seed: int = 0, verbose: bool = True,
             arch = dict(
                 stage_sizes=((3, 4, 6, 3) if cfg.model == "resnet50"
                              else (2, 2, 2, 2)),
-                width=64, bottleneck=cfg.model == "resnet50",
+                width=cfg.width or 64, bottleneck=cfg.model == "resnet50",
                 cifar_stem=cfg.image_size <= 64,
-                num_classes=cfg.num_classes)
+                num_classes=cfg.num_classes,
+                # imported torch checkpoints carry torchvision geometry;
+                # the flat engine runs the same explicit pads
+                torch_pad=bool(torch_ckpt))
             forward_factory = (
                 lambda sv: ResNetInt8Engine(sv, arch)._forward)
         engine = ServingEngine(smodel, svars,

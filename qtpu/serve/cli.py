@@ -59,9 +59,23 @@ def build_engine(cfg, *, tp: int = 1, dp: Optional[int] = None,
     key = jax.random.PRNGKey(seed)
     shape = (cfg.image_size, cfg.image_size, 1 if cfg.dataset == "mnist" else 3)
 
-    # torch checkpoints carry torchvision stride-2 geometry; the flat
-    # engines are SAME-geometry, so serve them through the module path
-    # with torch_pad models (qtpu/data/import_torch.py)
+    # Exactly one fp32 weight source may win (ADVICE r3): importing a torch
+    # checkpoint AND restoring an orbax state/frozen tree would silently
+    # overwrite one with the other.
+    if torch_ckpt and (load_state or load_frozen):
+        raise SystemExit("--torch-ckpt conflicts with --load-state/"
+                         "--load-frozen: pick one fp32 weight source")
+    if torch_ckpt:
+        from qtpu.data.import_torch import supported_models
+
+        if cfg.model not in supported_models():
+            raise SystemExit(
+                f"--torch-ckpt: no torch importer for '{cfg.model}' "
+                f"(available: {', '.join(supported_models())}; see "
+                f"qtpu/data/import_torch.py for why)")
+    # torch checkpoints carry torchvision stride-2 geometry
+    # (qtpu/data/import_torch.py); the flat engines take the same torch_pad
+    # flag and run the explicit-pad geometry bit-for-bit.
     torch_pad = torch_pad or bool(torch_ckpt)
     if load_frozen:
         from qtpu.utils import checkpoint as ckpt
@@ -89,16 +103,15 @@ def build_engine(cfg, *, tp: int = 1, dp: Optional[int] = None,
     preprocess_fn = None
     raw_dtype = np.float32
     serve_path = "module"
-    if torch_pad:
-        pass  # module path only (flat engines assume SAME geometry)
-    elif cfg.model in ("resnet18", "resnet50") and not cfg.exclude:
+    if cfg.model in ("resnet18", "resnet50") and not cfg.exclude:
         from qtpu.serve.resnet_engine import ResNetInt8Engine
 
         arch = dict(
             stage_sizes=((3, 4, 6, 3) if cfg.model == "resnet50"
                          else (2, 2, 2, 2)),
-            width=64, bottleneck=cfg.model == "resnet50",
-            cifar_stem=cfg.image_size <= 64, num_classes=cfg.num_classes)
+            width=cfg.width or 64, bottleneck=cfg.model == "resnet50",
+            cifar_stem=cfg.image_size <= 64, num_classes=cfg.num_classes,
+            torch_pad=torch_pad)
         cell = {}
         if uint8_ingest:
             from qtpu.data.native import preprocess_quantize
@@ -140,7 +153,8 @@ def build_engine(cfg, *, tp: int = 1, dp: Optional[int] = None,
             from qtpu.data.native import preprocess_quantize
 
             def forward_factory(sv):
-                cell["eng"] = eng = _MNEngine(sv, num_classes=nc)
+                cell["eng"] = eng = _MNEngine(sv, num_classes=nc,
+                                              torch_pad=torch_pad)
                 return lambda xq: eng._forward(xq, pre_quantized=True)
 
             _mean = np.asarray(mean, np.float32) * np.ones(shape[-1],
@@ -159,7 +173,8 @@ def build_engine(cfg, *, tp: int = 1, dp: Optional[int] = None,
             serve_path = "flat-engine+int8-ingest"
         else:
             def forward_factory(sv):
-                return _MNEngine(sv, num_classes=nc)._forward
+                return _MNEngine(sv, num_classes=nc,
+                                 torch_pad=torch_pad)._forward
 
             serve_path = "flat-engine"
     elif uint8_ingest:
@@ -175,7 +190,8 @@ def build_engine(cfg, *, tp: int = 1, dp: Optional[int] = None,
     engine.warmup(shape)
     info = dict(config=cfg.name, model=cfg.model, image_shape=shape,
                 mesh=f"dp={dp},tp={tp}", buckets=list(engine.buckets),
-                serve_path=serve_path, processes=jax.process_count(),
+                serve_path=serve_path, torch_pad=torch_pad,
+                processes=jax.process_count(),
                 raw_dtype=str(np.dtype(raw_dtype)))
     return engine, info
 
@@ -273,8 +289,8 @@ def main(argv=None) -> int:
     p.add_argument("--load-state", help="fp32/QAT orbax checkpoint to quantize")
     p.add_argument("--torch-ckpt",
                    help="pretrained torchvision-convention .pth to import as "
-                        "the fp32 baseline (module serve path, torch_pad "
-                        "geometry)")
+                        "the fp32 baseline (torch_pad geometry; serves on "
+                        "the flat int8 engines)")
     p.add_argument("--torch-pad", action="store_true",
                    help="with --load-frozen: the frozen tree came from a "
                         "torch_pad (torchvision-geometry) model")

@@ -148,10 +148,15 @@ def conv_xla(x_q: Array, node: Dict[str, Array], *, strides=(1, 1),
              groups: int = 1, relu: bool = False,
              act_max: Optional[float] = None,
              requant: Optional[Grid] = None,
+             padding="SAME",
              dw_shifted: bool = False) -> Array:
     """K×K (optionally grouped/depthwise, strided) conv via XLA int8.
 
     Epilogue runs folded (see gemm_1x1 / qops.epilogue_coeffs).
+    ``padding``: "SAME" or explicit ((lo,hi),(lo,hi)) pads — torch-geometry
+    models (qtpu/data/import_torch.py) pad stride-2 convs symmetrically
+    where SAME pads (0,1), so the flat engines pass the model's explicit
+    pads through here.
     ``dw_shifted``: run a depthwise conv as shifted elementwise FMAs
     instead of the grouped-conv op (qops.qdepthwise_shifted — bit-exact,
     pure XLA, no custom call; a fusion-shape experiment for the measured
@@ -160,10 +165,10 @@ def conv_xla(x_q: Array, node: Dict[str, Array], *, strides=(1, 1),
     w = unpacked_kernel(node)
     if dw_shifted and groups > 1 and w.shape[2] == 1:
         acc = qops.qdepthwise_shifted(x_q, w, strides=strides,
-                                      padding="SAME", zp=node["act_zp"])
+                                      padding=padding, zp=node["act_zp"])
     else:
         acc = qops.qconv2d(x_q, w, strides=strides,
-                           padding="SAME", groups=groups, zp=node["act_zp"])
+                           padding=padding, groups=groups, zp=node["act_zp"])
     rs, rz, rsym = grid_parts(requant)
     co, mode = qops.epilogue_coeffs(
         act_scale=node["act_scale"], act_zp=node["act_zp"],

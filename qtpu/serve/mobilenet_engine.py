@@ -37,7 +37,13 @@ class MobileNetV2Int8Engine:
 
     def __init__(self, variables: Dict[str, Any], num_classes: int,
                  use_pallas: bool = False, use_qivr: bool = False,
-                 qivr_interpret: bool = False, dw_shifted: bool = False):
+                 qivr_interpret: bool = False, dw_shifted: bool = False,
+                 torch_pad: bool = False):
+        # torch_pad: torchvision geometry (qtpu/data/import_torch.py) —
+        # explicit (1,1) pads on the strided 3x3 stem/depthwise convs where
+        # XLA SAME pads (0,1); stride-1 convs are identical either way.
+        self.torch_pad = bool(torch_pad)
+        self._pad3 = ((1, 1), (1, 1)) if torch_pad else "SAME"
         # dw_shifted: depthwise convs as shifted elementwise FMAs (pure XLA,
         # bit-exact — qops.qdepthwise_shifted) instead of the grouped-conv
         # op; targets the measured 186-409 GB/s grouped-conv ceiling with
@@ -161,7 +167,7 @@ class MobileNetV2Int8Engine:
                                         symmetric=grid_of(stem)[2])
             first = self._block_in_grid(blocks[0][0])
             x_q = conv_xla(x_q, stem, strides=(2, 2), relu=True, act_max=6.0,
-                           requant=first)
+                           requant=first, padding=self._pad3)
         grid = first
 
         i = 0
@@ -198,7 +204,7 @@ class MobileNetV2Int8Engine:
                 c = y.shape[-1]
                 y = conv_xla(y, dw, strides=(stride, stride), groups=c,
                              relu=True, act_max=6.0,
-                             requant=grid_of(project),
+                             requant=grid_of(project), padding=self._pad3,
                              dw_shifted=self.dw_shifted)
                 if stride == 1 and x_q.shape[-1] == cout:
                     # inverted residual: add fused into the project epilogue

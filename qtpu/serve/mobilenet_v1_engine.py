@@ -36,7 +36,12 @@ class MobileNetV1Int8Engine:
     """Flat int8 inference over frozen MobileNet-v1 qweights."""
 
     def __init__(self, variables: Dict[str, Any], num_classes: int,
-                 use_pallas: bool = False, dw_shifted: bool = False):
+                 use_pallas: bool = False, dw_shifted: bool = False,
+                 torch_pad: bool = False):
+        # torch_pad: torchvision geometry — explicit (1,1) pads on the
+        # strided 3x3 stem/depthwise convs (see MobileNetV2Int8Engine).
+        self.torch_pad = bool(torch_pad)
+        self._pad3 = ((1, 1), (1, 1)) if torch_pad else "SAME"
         # use_pallas=False default for the same reason as the v2 engine:
         # MobileNet channel counts are mostly not lane-aligned, so the (M, C)
         # reshapes around Pallas GEMMs are physical relayouts; the XLA NHWC
@@ -84,7 +89,7 @@ class MobileNetV1Int8Engine:
                                         symmetric=grid_of(stem)[2])
             first = grid_of(self._node("block0", "dw"))
             x_q = conv_xla(x_q, stem, strides=(2, 2), relu=True,
-                           requant=first)
+                           requant=first, padding=self._pad3)
 
         for i, s in enumerate(V1_STRIDES):
             dw = self._node(f"block{i}", "dw")
@@ -99,7 +104,8 @@ class MobileNetV1Int8Engine:
             with annotate(f"block{i}"):
                 c = x_q.shape[-1]
                 y = conv_xla(x_q, dw, strides=(s, s), groups=c, relu=True,
-                             requant=grid_of(pw), dw_shifted=self.dw_shifted)
+                             requant=grid_of(pw), padding=self._pad3,
+                             dw_shifted=self.dw_shifted)
                 x_q = gemm_1x1(y, pw, relu=True, requant=nxt,
                                out_dtype=jnp.int8 if nxt is not None
                                else jnp.float32,

@@ -64,7 +64,12 @@ def _qblock_bb(B: int, H: int, W: int, cap: int = 32) -> int:
 class ResNetInt8Engine:
     """Flat int8 inference over frozen ResNet qweights.
 
-    ``arch``: dict(stage_sizes, width, bottleneck, cifar_stem, num_classes).
+    ``arch``: dict(stage_sizes, width, bottleneck, cifar_stem, num_classes
+    [, torch_pad]).  ``torch_pad=True`` runs the torchvision geometry the
+    torch importer produces (qtpu/data/import_torch.py): explicit symmetric
+    pads on the 7x7 stem / 3x3 max-pool / strided 3x3 convs where XLA SAME
+    pads (0,1) — output shapes are identical, only pixel offsets move, and
+    the engine must match the model bit-for-bit.
     ``variables``: freeze() output.  Excluded stem/fc (the canonical config-5
     first/last exclusion) run in fp32 inside the engine — stem BN folded with
     running stats at build time, fc as a plain fp32 matmul; other excluded
@@ -90,6 +95,10 @@ class ResNetInt8Engine:
         self.params = variables.get("params", {})
         self.batch_stats = variables.get("batch_stats", {})
         self.arch = dict(arch)
+        # torchvision geometry: explicit pads everywhere a strided window
+        # would otherwise take XLA's asymmetric SAME pads (see class doc).
+        self.torch_pad = bool(self.arch.get("torch_pad", False))
+        self._pad3 = ((1, 1), (1, 1)) if self.torch_pad else "SAME"
         # use_pallas=False default: after the NHWC 1x1 fix in fused_ops the
         # XLA path fuses the same epilogues without the (M,C) relayout the
         # Pallas GEMMs require — measured 11.2k vs 6.6k img/s @ B=32 and
@@ -470,9 +479,9 @@ class ResNetInt8Engine:
                            min_ci_pallas=self.min_ci_pallas)
 
     def _conv_xla(self, x_q: Array, node: Dict[str, Array], *, strides,
-                  relu: bool, requant) -> Array:
+                  relu: bool, requant, padding="SAME") -> Array:
         return _fused_conv(x_q, node, strides=strides, relu=relu,
-                           requant=requant)
+                           requant=requant, padding=padding)
 
     @staticmethod
     def _dequant(x_q: Array, grid) -> Array:
@@ -485,6 +494,13 @@ class ResNetInt8Engine:
         node = self._node("stem")
         cifar = self.arch.get("cifar_stem", False)
         strides = (1, 1) if cifar else (2, 2)
+        # torch geometry (models/resnet.py): 7x7 stem pads (3,3), the 3x3/2
+        # max-pool pads (1,1); the cifar 3x3/1 stem's (1,1) == SAME.
+        if self.torch_pad and not cifar:
+            conv_pad = ((3, 3), (3, 3))
+            pool_pad = ((0, 0), (1, 1), (1, 1), (0, 0))
+        else:
+            conv_pad, pool_pad = "SAME", "SAME"
         if node is None:
             # Excluded stem: fp32 conv (BN folded at build), relu, quantize
             # onto the first block's grid, then max-pool on int8 codes
@@ -495,7 +511,7 @@ class ResNetInt8Engine:
             w, b = self._stem_fp32
             y = jax.lax.conv_general_dilated(
                 jnp.asarray(x, jnp.float32), w, window_strides=strides,
-                padding="SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                padding=conv_pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32) + b
             y = jnp.maximum(y, 0.0)
             fs, fz, fsym = _grid_parts(first_grid)
@@ -503,7 +519,7 @@ class ResNetInt8Engine:
             if not cifar:
                 y_q = jax.lax.reduce_window(
                     y_q, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1),
-                    (1, 2, 2, 1), "SAME")
+                    (1, 2, 2, 1), pool_pad)
             return y_q
         if pre_quantized:
             x_q = x                      # already on the stem's grid (int8)
@@ -511,11 +527,11 @@ class ResNetInt8Engine:
             x_q = qops.quantize_act(x, node["act_scale"], node["act_zp"],
                                     symmetric=_grid_of(node)[2])
         y_q = self._conv_xla(x_q, node, strides=strides, relu=True,
-                             requant=first_grid)
+                             requant=first_grid, padding=conv_pad)
         if not cifar:
             y_q = jax.lax.reduce_window(
                 y_q, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-                "SAME")
+                pool_pad)
         return y_q
 
     def _bottleneck(self, x_q: Array, x_grid: Grid, name: str,
@@ -536,7 +552,7 @@ class ResNetInt8Engine:
         a = self._gemm(x_q, c1, relu=True, requant=_grid_of(c2),
                        out_dtype=jnp.int8)
         b = self._conv_xla(a, c2, strides=strides, relu=True,
-                           requant=_grid_of(c3))
+                           requant=_grid_of(c3), padding=self._pad3)
         if down is not None:
             x_d = x_q[:, ::strides[0], ::strides[1], :]
             if (name in self._qproj_prep and next_grid is not None
@@ -561,8 +577,9 @@ class ResNetInt8Engine:
         c1, c2 = (self._node(name, k) for k in ("conv1", "conv2"))
         down = self._node(name, "down")
         a = self._conv_xla(x_q, c1, strides=strides, relu=True,
-                           requant=_grid_of(c2))
-        b = self._conv_xla(a, c2, strides=(1, 1), relu=False, requant=None)
+                           requant=_grid_of(c2), padding=self._pad3)
+        b = self._conv_xla(a, c2, strides=(1, 1), relu=False, requant=None,
+                           padding=self._pad3)
         if down is not None:
             r = self._gemm(x_q[:, ::strides[0], ::strides[1], :], down,
                            relu=False, requant=None, out_dtype=jnp.float32)

@@ -276,9 +276,9 @@ def test_run_cli_torch_ckpt(tmp_path, capsys):
 
 def test_serve_torch_ckpt_module_path(tmp_path):
     """Serving stack built straight from a pretrained torch .pth
-    (`python -m qtpu.serve --torch-ckpt ...`): forced onto the module
-    serve path (flat engines assume SAME geometry), int8 predictions
-    track the imported fp32 torch net."""
+    (`python -m qtpu.serve --torch-ckpt ...`): serves on the FLAT int8
+    engine (round-4 torch_pad geometry support), int8 predictions track
+    the imported fp32 torch net."""
     import dataclasses
 
     from qtpu.examples.configs import CONFIGS
@@ -294,7 +294,7 @@ def test_serve_torch_ckpt_module_path(tmp_path):
         act_observer="minmax", n_train=64, calib_batches=1, batch_size=16)
     engine, info = build_engine(cfg, buckets=(4,), max_wait_ms=50.0,
                                 torch_ckpt=path)
-    assert info["serve_path"] == "module"
+    assert info["serve_path"] == "flat-engine"
     x = np.random.default_rng(2).random((4, 32, 32, 3)).astype(np.float32)
     try:
         logits = engine.predict(x)
