@@ -44,7 +44,8 @@ def build_model(cfg: ExperimentConfig, quant=None, torch_pad: bool = False):
 def run_experiment(cfg: ExperimentConfig, seed: int = 0, verbose: bool = True,
                    save_state: Optional[str] = None,
                    load_state: Optional[str] = None,
-                   torch_ckpt: Optional[str] = None) -> dict:
+                   torch_ckpt: Optional[str] = None,
+                   dp: Optional[int] = None) -> dict:
     enable_persistent_cache()
     if torch_ckpt:
         # validate against the importer registry BEFORE building the model:
@@ -58,6 +59,14 @@ def run_experiment(cfg: ExperimentConfig, seed: int = 0, verbose: bool = True,
                 f"--torch-ckpt: no torch importer for '{cfg.model}' "
                 f"(available: {', '.join(supported_models())}; see "
                 f"qtpu/data/import_torch.py for why)")
+    # --dp N: data-parallel training over a ('data',) mesh of N devices
+    # (SURVEY.md §2.3 DP row — batch sharded, params replicated, grads
+    # psum'd by GSPMD; see qtpu.train.make_train_step)
+    mesh = None
+    if dp is not None and dp > 1:
+        from qtpu.parallel import make_mesh
+
+        mesh = make_mesh(dp=dp, tp=1, devices=jax.devices()[:dp])
     key = jax.random.PRNGKey(seed)
     train_ds = load_dataset(cfg.dataset, "train", n=cfg.n_train, seed=seed)
     eval_ds = load_dataset(cfg.dataset, "test", n=cfg.n_eval, seed=seed)
@@ -93,7 +102,7 @@ def run_experiment(cfg: ExperimentConfig, seed: int = 0, verbose: bool = True,
     else:
         state = fit(model, train_ds, epochs=cfg.fp32_epochs,
                     batch_size=cfg.batch_size, lr=cfg.lr, seed=seed,
-                    log_every=50 if verbose else 0)
+                    log_every=50 if verbose else 0, mesh=mesh)
     if save_state:
         from qtpu.utils import checkpoint as ckpt
 
@@ -124,7 +133,8 @@ def run_experiment(cfg: ExperimentConfig, seed: int = 0, verbose: bool = True,
                             step=jnp.zeros((), jnp.int32))
         qstate = fit(qmodel, train_ds, epochs=cfg.qat_epochs,
                      batch_size=cfg.batch_size, tx=tx, state=qstate,
-                     seed=seed + 1, log_every=50 if verbose else 0)
+                     seed=seed + 1, log_every=50 if verbose else 0,
+                     mesh=mesh)
         qvars = qstate.variables()
         eval_model = qmodel          # QUANT_EMA: frozen stats used in eval
     else:  # online
@@ -213,6 +223,9 @@ def main(argv=None) -> int:
                    help="import a pretrained torchvision-convention .pth as "
                         "the fp32 baseline (skips fp32 training; implies "
                         "torch_pad geometry)")
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel training over N devices (batch "
+                        "sharded over a 'data' mesh axis, grads psum'd)")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -233,7 +246,7 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(cfg, **{k: value})
     run_experiment(cfg, seed=args.seed, verbose=not args.quiet,
                    save_state=args.save_state, load_state=args.load_state,
-                   torch_ckpt=args.torch_ckpt)
+                   torch_ckpt=args.torch_ckpt, dp=args.dp)
     return 0
 
 

@@ -47,13 +47,33 @@ def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
 
 
 def make_train_step(model: nn.Module, tx: optax.GradientTransformation,
-                    weight_decay_mask: Optional[Callable] = None):
-    """Jitted (state, x, y) -> (state, metrics) training step."""
+                    weight_decay_mask: Optional[Callable] = None,
+                    mesh=None):
+    """Jitted (state, x, y) -> (state, metrics) training step.
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a 'data' axis enables
+    data-parallel training (SURVEY.md §2.3 DP row: "also DP for the QAT
+    trainer (grad psum)") the TPU-native way — the global batch is sharded
+    over 'data', params/optimizer state are replicated, and GSPMD inserts
+    the gradient all-reduce (the loss is a mean over the global batch, so
+    the psum is the partitioner's own reduction — no hand-written
+    collective).  Numerics match the single-device step up to f32
+    reduction order (asserted in tests/test_dp_train.py).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
 
     mutable = list(MUTABLE)
+    data_sh = (NamedSharding(mesh, PartitionSpec("data"))
+               if mesh is not None else None)
+    rep = (NamedSharding(mesh, PartitionSpec())
+           if mesh is not None else None)
 
     @jax.jit
     def step(state: TrainState, x, y):
+        if data_sh is not None:
+            x = jax.lax.with_sharding_constraint(x, data_sh)
+            y = jax.lax.with_sharding_constraint(y, data_sh)
+
         def loss_fn(params):
             out, mut = model.apply({"params": params, **state.extra}, x,
                                    train=True, mutable=mutable)
@@ -61,6 +81,12 @@ def make_train_step(model: nn.Module, tx: optax.GradientTransformation,
 
         (loss, (logits, mut)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        if rep is not None:
+            # pin the updated state to replicated so the carried TrainState
+            # keeps its placement across steps (GSPMD would otherwise be
+            # free to leave per-device shardings on opt-state leaves)
+            grads = jax.lax.with_sharding_constraint(grads, jax.tree.map(
+                lambda _: rep, grads))
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         extra = {**state.extra, **mut}
@@ -100,8 +126,13 @@ def fit(model: nn.Module, train_ds: Dataset, *, epochs: int = 1,
         tx: Optional[optax.GradientTransformation] = None,
         key: Optional[jax.Array] = None, state: Optional[TrainState] = None,
         eval_ds: Optional[Dataset] = None, log_every: int = 0,
-        json_logs: bool = False, seed: int = 0) -> TrainState:
+        json_logs: bool = False, seed: int = 0, mesh=None) -> TrainState:
     """Train ``model`` (fp32 or quantized — QAT works through the same loop).
+
+    ``mesh``: data-parallel training over the mesh's 'data' axis (see
+    :func:`make_train_step`); ``batch_size`` is the GLOBAL batch and must
+    divide by the axis size.  Reachable from the CLI as
+    ``python -m qtpu.examples.run --dp N``.
 
     ``json_logs=True`` emits one structured JSON line per log event
     (SURVEY.md §5.5 observability) instead of human-readable text.
@@ -113,7 +144,18 @@ def fit(model: nn.Module, train_ds: Dataset, *, epochs: int = 1,
     if state is None:
         sample = jnp.asarray(train_ds.images[:2])
         state = create_train_state(model, key, sample, tx)
-    step = make_train_step(model, tx)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        dp = mesh.shape.get("data", 1)
+        if batch_size % dp:
+            raise ValueError(f"global batch_size={batch_size} must divide "
+                             f"by the data axis ({dp})")
+        # replicate the train state once; the step's output constraint
+        # keeps it replicated across iterations
+        rep = NamedSharding(mesh, PartitionSpec())
+        state = jax.tree.map(lambda l: jax.device_put(l, rep), state)
+    step = make_train_step(model, tx, mesh=mesh)
 
     def log(payload: dict, text: str) -> None:
         print(_json.dumps(payload) if json_logs else text, flush=True)
