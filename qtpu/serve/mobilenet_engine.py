@@ -36,8 +36,7 @@ class MobileNetV2Int8Engine:
     """Flat int8 inference over frozen MobileNet-v2 qweights."""
 
     def __init__(self, variables: Dict[str, Any], num_classes: int,
-                 use_pallas: bool = False, use_qivr: bool = False,
-                 qivr_interpret: bool = False, dw_shifted: bool = False,
+                 use_pallas: bool = False, dw_shifted: bool = False,
                  torch_pad: bool = False):
         # torch_pad: torchvision geometry (qtpu/data/import_torch.py) —
         # explicit (1,1) pads on the strided 3x3 stem/depthwise convs where
@@ -57,17 +56,11 @@ class MobileNetV2Int8Engine:
         self.qw = variables["qweights"]
         self.num_classes = num_classes
         self.use_pallas = use_pallas
-        # use_qivr: run each maximal run of identity inverted residuals as
-        # ONE chained 2-D Pallas kernel (qtpu.ops.pallas.qivr) — the same
-        # whole-run shape as ResNet's qstage, but with the 3x3 depthwise as
-        # nine row-shifted VPU multiplies (no MXU, no layout casts).
-        # Bit-identical to the per-block sequence (tests/test_pallas_qivr.py);
-        # on-chip A/B in scripts/chip_qivr_bench.py.
-        self.use_qivr = use_qivr
-        self.qivr_interpret = qivr_interpret
+        # Experiment-kernel dispatch table: EMPTY on the product engine, so
+        # the qivr guard in _forward never fires.  Populated (and _qivr
+        # provided) only by serve.experimental's subclass — the chained
+        # inverted-residual kernel's measured-loser receipt lives there.
         self._qivr_prep: Dict[int, Dict[str, Any]] = {}
-        if use_qivr:
-            self._prepare_qivr()
         self.forward = jax.jit(self._forward)
         # int8 ingest: images pre-quantized on the host onto the stem's grid
         # (qtpu.data.native.preprocess_quantize) — 4x less transfer.
@@ -103,53 +96,6 @@ class MobileNetV2Int8Engine:
         node = self._node(name, "expand") or self._node(name, "dw")
         return grid_of(node)
 
-    def _prepare_qivr(self) -> None:
-        """Stack each maximal identity-inverted-residual run for qivr_fused.
-
-        Block i qualifies when it has an expand conv, stride 1, cin == cout
-        (residual present) and all grids affine; the grid AFTER the run
-        (next block's in-grid, or the head's) must be affine too — the same
-        dispatch rule as ResNet's qstage applied to inverted residuals.
-        """
-        from qtpu.ops.pallas.qivr import ivr_coeffs, stack_ivr_weights
-        from qtpu.serve.fused_ops import unpacked_kernel
-
-        blocks = self._blocks()
-
-        def chainable(j):
-            name, _t, stride = blocks[j]
-            nodes = tuple(self._node(name, k)
-                          for k in ("expand", "dw", "project"))
-            if any(n is None for n in nodes) or stride != 1:
-                return None
-            cin = unpacked_kernel(nodes[0]).shape[-2]
-            cout = unpacked_kernel(nodes[2]).shape[-1]
-            if cin != cout or any(grid_of(n)[2] for n in nodes):
-                return None
-            return nodes
-
-        i = 0
-        while i < len(blocks):
-            run = []
-            j = i
-            while j < len(blocks):
-                nodes = chainable(j)
-                if nodes is None:
-                    break
-                run.append(nodes)
-                j += 1
-            if not run:
-                i += 1
-                continue
-            tgt = (self._block_in_grid(blocks[j][0]) if j < len(blocks)
-                   else grid_of(self._node("head")))
-            if not tgt[2]:               # affine consumer only
-                self._qivr_prep[i] = dict(
-                    nrun=len(run), tgt=tgt,
-                    weights=stack_ivr_weights(run),
-                    coeffs=ivr_coeffs(run, (tgt[0], tgt[1])))
-            i = j
-
     def _forward(self, x: Array, pre_quantized: bool = False) -> Array:
         blocks = self._blocks()
         stem = self._node("stem")
@@ -175,16 +121,10 @@ class MobileNetV2Int8Engine:
             name, t, stride = blocks[i]
             if i in self._qivr_prep:
                 # whole identity-inverted-residual run in one chained kernel
-                from qtpu.ops.pallas.qivr import qivr_fused
-
+                # (experiment guard: table empty on the product engine)
                 prep = self._qivr_prep[i]
-                B, H, W, C = x_q.shape
                 with annotate(f"{name}_ivrun"):
-                    out = qivr_fused(
-                        x_q.reshape(B * H * W, C), **prep["weights"],
-                        **prep["coeffs"], h=H, w=W,
-                        interpret=self.qivr_interpret)
-                    x_q = out.reshape(B, H, W, C)
+                    x_q = self._qivr(x_q, i)
                 grid = prep["tgt"]
                 i += prep["nrun"]
                 continue

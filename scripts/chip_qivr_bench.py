@@ -24,7 +24,8 @@ from qtpu.bench.timing import time_scan_fit
 from qtpu.models import get_model
 from qtpu.nn import QuantPolicy
 from qtpu.ops.pallas.qivr import qivr_fused
-from qtpu.serve.mobilenet_engine import MobileNetV2Int8Engine
+from qtpu.serve.experimental import \
+    ExperimentalMobileNetV2Int8Engine as MobileNetV2Int8Engine
 from qtpu.transform import calibrate, convert_model, freeze
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 128

@@ -24,7 +24,8 @@ from qtpu.models import get_model
 from qtpu.nn import QuantPolicy
 from qtpu.ops.pallas.qivr import qivr_fused
 from qtpu.serve.fused_ops import conv_xla, gemm_1x1, grid_of
-from qtpu.serve.mobilenet_engine import MobileNetV2Int8Engine
+from qtpu.serve.experimental import \
+    ExperimentalMobileNetV2Int8Engine as MobileNetV2Int8Engine
 from qtpu.transform import calibrate, convert_model, freeze
 
 KEY = jax.random.PRNGKey(0)

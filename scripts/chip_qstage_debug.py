@@ -24,7 +24,8 @@ from qtpu.models import get_model
 from qtpu.nn import QuantPolicy
 from qtpu.ops.pallas.qstage import qstage_fused, stage_coeffs
 from qtpu.serve.fused_ops import conv_xla, gemm_1x1, grid_of
-from qtpu.serve.resnet_engine import ResNetInt8Engine
+from qtpu.serve.experimental import \
+        ExperimentalResNetInt8Engine as ResNetInt8Engine
 from qtpu.transform import calibrate, convert_model, freeze
 
 KEY = jax.random.PRNGKey(0)

@@ -20,7 +20,8 @@ import numpy as np
 from qtpu.bench.timing import time_scan_fit
 from qtpu.models import get_model
 from qtpu.nn import QuantPolicy
-from qtpu.serve.resnet_engine import ResNetInt8Engine
+from qtpu.serve.experimental import \
+        ExperimentalResNetInt8Engine as ResNetInt8Engine
 from qtpu.transform import calibrate, convert_model, freeze
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 128

@@ -46,9 +46,11 @@ def test_engine_qivr_bitwise_parity():
     v = dict(jax.jit(qm.init, static_argnames="train")(KEY, x, train=True))
     v = calibrate(qm, v, [x])
     _, sv = freeze(qm, v, x)
+    from qtpu.serve.experimental import ExperimentalMobileNetV2Int8Engine
+
     ref = MobileNetV2Int8Engine(sv, num_classes=10)
-    eng = MobileNetV2Int8Engine(sv, num_classes=10, use_qivr=True,
-                                qivr_interpret=True)
+    eng = ExperimentalMobileNetV2Int8Engine(sv, num_classes=10, use_qivr=True,
+                                            qivr_interpret=True)
     # V2_CFG identity runs: block2(24x2->1), block4/5(32x3->2), block7/8/9
     # (64x4->3), block11/12(96x3->2), block14/15(160x3->2)
     assert sum(p["nrun"] for p in eng._qivr_prep.values()) == 10, \

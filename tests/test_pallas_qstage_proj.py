@@ -121,7 +121,8 @@ def test_engine_qstage_proj_bitwise_parity():
     """Engine dispatching the FULL stride-1 stage == per-block XLA engine."""
     from qtpu.models import get_model
     from qtpu.nn import QuantPolicy
-    from qtpu.serve.resnet_engine import ResNetInt8Engine
+    from qtpu.serve.experimental import \
+        ExperimentalResNetInt8Engine as ResNetInt8Engine
     from qtpu.transform import calibrate, convert_model, freeze
 
     m = get_model("resnet50", num_classes=10, cifar_stem=True)
