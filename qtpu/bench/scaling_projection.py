@@ -1,0 +1,282 @@
+"""Projected 1→N-chip scaling efficiency — a MODEL, not a measurement.
+
+SURVEY.md §6 sets a ≥85% 1→N scaling-efficiency target that cannot be
+measured in this environment (one physical chip).  Round 3 left that row
+as "structurally validated", which is a category, not a number (VERDICT r3
+missing #4).  This module produces the number the honest way available:
+
+1. AOT-compile the REAL sharded serving program (the flat int8 engine
+   forward with TP-sharded qweights via qtpu.parallel.serve_shardings, or
+   the module path) for genuine v5e topologies — the axon TPU compiler is
+   chipless, so the actual SPMD partitioner + latency-hiding scheduler run
+   and the optimized HLO is real backend output (see qtpu.bench.overlap).
+2. Parse every ICI collective in the optimized HLO: op kind, participant
+   group size, tensor bytes; convert to per-device ICI ring time under the
+   nominal v5e link bandwidth.
+3. Combine with the MEASURED single-chip step time: projected step(N) =
+   T1/N + alpha * T_ici(N); efficiency = (T1/N) / step(N).  alpha=1 is the
+   zero-overlap worst case; alpha = (1 - overlapped_pair_fraction) uses
+   the schedule's own async-pair evidence (collectives whose start/done
+   straddle compute fusions are counted as hidden).
+
+Model assumptions (stated so the number is interpretable):
+* compute splits ideally (T1/N) — optimistic for TP at small per-chip
+  channel counts (lane fill), so the projection brackets the truth from
+  above on compute and from below on overlap (alpha=1 column);
+* ring algorithms on one torus axis: all-gather/reduce-scatter move
+  S*(n-1)/n bytes per device, all-reduce 2x that, at the bidirectional
+  ring rate (2 * one-way link bandwidth);
+* DCN is not modeled — projections are intra-slice (ICI) only.
+
+``python -m qtpu.bench.scaling_projection [--t1-ms T] [--batch B]`` prints
+one JSON line per (topology, mesh) plus a summary table.  The pod-ready
+MEASUREMENT script remains qtpu/bench/scaling.py + scripts/pod_scaling_accept.py,
+which asserts >=85% on real hardware when it appears.
+"""
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Dict, List, Optional
+
+# TPU v5e ICI: 2D torus, one-way bandwidth per link per direction.
+# (Public "How to Scale Your Model" v5e figure: 4.5e10 B/s one-way.)
+V5E_ICI_LINK_BPS = 45e9
+_DTYPE_BYTES = dict(pred=1, s8=1, u8=1, s16=2, u16=2, bf16=2, f16=2,
+                    s32=4, u32=4, f32=4, s64=8, u64=8, f64=8)
+_COLL_RE = re.compile(
+    r"\b(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
+    r"(?:-start)?\(")
+_SHAPE_RE = re.compile(r"\b([a-z]+\d*)\[([\d,]*)\]")
+
+
+def _line_out_bytes(line: str) -> int:
+    """Largest array (bytes) in the instruction's output type — the gathered
+    /reduced tensor for *-start tuples (operand alias + result)."""
+    lhs = line.split(" = ", 1)
+    if len(lhs) != 2:
+        return 0
+    out_type = lhs[1].split(")", 1)[0] if lhs[1].startswith("(") \
+        else lhs[1].split(" ", 1)[0]
+    best = 0
+    for dt, dims in _SHAPE_RE.findall(out_type):
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        best = max(best, n * _DTYPE_BYTES[dt])
+    return best
+
+
+def _group_size(line: str, n_devices: int) -> int:
+    """Participants per replica group (ring size) for a collective line."""
+    m = re.search(r"replica_groups=\[(\d+),(\d+)\]<=\[\d+\]", line)
+    if m:                                   # iota form: [groups, size]
+        return int(m.group(2))
+    m = re.search(r"replica_groups=\{\{([^}]*)\}", line)
+    if m:
+        return len([t for t in m.group(1).split(",") if t.strip()])
+    return n_devices
+
+
+def collective_ici(hlo: str, n_devices: int,
+                   link_bps: float = V5E_ICI_LINK_BPS) -> Dict[str, Any]:
+    """Per-step ICI traffic and ring time from optimized HLO.
+
+    Counts each *-start exactly once (done/update lines are skipped).
+    Returns rows per collective and the summed per-device ICI seconds.
+    """
+    rows: List[Dict[str, Any]] = []
+    t_total = 0.0
+    bytes_total = 0
+    for line in hlo.splitlines():
+        s = line.strip()
+        m = _COLL_RE.search(s)
+        if not m or "-done" in s.split(" = ")[0]:
+            continue
+        if re.match(r"%?(all-reduce|all-gather|reduce-scatter|"
+                    r"collective-permute|all-to-all)[-.\w]*-done", s):
+            continue
+        kind = m.group(1)
+        size = _line_out_bytes(s)
+        n = _group_size(s, n_devices)
+        if n <= 1 or size == 0:
+            continue
+        bw = 2 * link_bps                       # bidirectional ring
+        if kind == "all-gather":
+            ici = size * (n - 1) / n
+        elif kind == "reduce-scatter":
+            ici = size * (n - 1) / n
+        elif kind == "all-reduce":
+            ici = 2 * size * (n - 1) / n
+        elif kind == "collective-permute":
+            ici, bw = size, link_bps            # point-to-point, one link
+        else:                                   # all-to-all
+            ici = size * (n - 1) / n
+        t = ici / bw
+        rows.append(dict(kind=kind, bytes=size, group=n,
+                         ici_bytes=int(ici), t_us=round(t * 1e6, 2)))
+        t_total += t
+        bytes_total += int(ici)
+    return dict(rows=rows, n_collectives=len(rows),
+                ici_bytes_per_device=bytes_total,
+                t_ici_us=round(t_total * 1e6, 2))
+
+
+def overlap_alpha(hlo: str) -> float:
+    """Exposed-collective fraction from the schedule's async pairs.
+
+    alpha = 1 - (async collective pairs with >=1 compute fusion scheduled
+    between start and done) / (all async collective pairs); 1.0 when the
+    program has no async pairs (nothing is hidden).
+    """
+    from qtpu.bench.overlap import collective_report
+
+    rep = collective_report(hlo)
+    pairs = rep["async_pairs"]
+    if not pairs:
+        return 1.0
+    return 1.0 - rep["async_pairs_with_compute_between"] / pairs
+
+
+def project(t1_s: float, hlo: str, n_devices: int,
+            tp: int = 1) -> Dict[str, Any]:
+    """Projected step time / efficiency at ``n_devices`` from one HLO.
+
+    The data axis is WEAK-scaled (per-chip batch held at the single-chip
+    operating point, so per-chip compute time stays t1 — this is the
+    "1 chip → N hosts images/sec" framing of the ≥85% target); the model
+    axis strong-scales compute: t_compute = t1 / tp.
+    """
+    ici = collective_ici(hlo, n_devices)
+    alpha = overlap_alpha(hlo)
+    t_comp = t1_s / tp
+    t_coll = ici["t_ici_us"] / 1e6
+    out = dict(n_devices=n_devices, tp=tp,
+               t1_ms=round(t1_s * 1e3, 3),
+               t_compute_ms=round(t_comp * 1e3, 3),
+               t_ici_ms=round(t_coll * 1e3, 3),
+               ici_bytes_per_device=ici["ici_bytes_per_device"],
+               n_collectives=ici["n_collectives"],
+               alpha_exposed=round(alpha, 3))
+    for name, a in (("eff_worstcase_pct", 1.0), ("eff_scheduled_pct", alpha)):
+        step = t_comp + a * t_coll
+        out[name] = round(100.0 * t_comp / step, 1)
+    return out
+
+
+def compile_engine_tp(batch: int, mesh, arch: Optional[dict] = None) -> str:
+    """AOT-compile the FLAT int8 ResNet engine forward with TP-sharded
+    qweights over ``mesh`` (the headline serving program, not the module
+    path); returns optimized HLO text.
+
+    The engine is built once with host arrays; lowering rebinds the frozen
+    qweights tree to sharding-annotated ShapeDtypeStructs so GSPMD
+    partitions the real program.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qtpu.models import get_model
+    from qtpu.nn import QuantPolicy
+    from qtpu.parallel.mesh import serve_shardings
+    from qtpu.serve.resnet_engine import ResNetInt8Engine
+    from qtpu.transform import calibrate, convert_model, freeze
+
+    arch = arch or dict(stage_sizes=(3, 4, 6, 3), width=64, bottleneck=True,
+                        cifar_stem=False, num_classes=1000)
+    key = jax.random.PRNGKey(0)
+    model = get_model("resnet50", num_classes=arch["num_classes"],
+                      cifar_stem=arch["cifar_stem"])
+    x0 = jax.random.normal(key, (2, 224, 224, 3))
+    qm = convert_model(model, QuantPolicy.int8_ptq())
+    qv = dict(jax.jit(qm.init, static_argnames="train")(key, x0, train=True))
+    qv = calibrate(qm, qv, [x0])
+    _, sv = freeze(qm, qv, x0)
+    eng = ResNetInt8Engine(sv, arch)
+
+    # act_sym leaves are STATIC control flow (grid_of reads them as Python
+    # bools) — keep them concrete; every numeric leaf becomes a jit input
+    # carrying its TP NamedSharding.
+    from jax.tree_util import tree_flatten_with_path, tree_unflatten
+
+    shardings = serve_shardings(dict(qweights=sv["qweights"]),
+                                mesh)["qweights"]
+    pl, treedef = tree_flatten_with_path(sv["qweights"])
+    sh_leaves = jax.tree.flatten(shardings)[0]
+    static = [p[-1].key == "act_sym" for p, _ in pl]
+    dyn_in = [jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=s)
+              for (p, l), s, st in zip(pl, sh_leaves, static) if not st]
+    static_vals = [bool(l) for (p, l), st in zip(pl, static) if st]
+
+    def fwd(dyn, x):
+        dyn_it, st_it = iter(dyn), iter(static_vals)
+        leaves = [next(st_it) if st else next(dyn_it) for st in static]
+        eng.qw = tree_unflatten(treedef, leaves)
+        return eng._forward(x)
+
+    x_spec = P("data") if "data" in mesh.shape else P()
+    x_shaped = jax.ShapeDtypeStruct((batch, 224, 224, 3), "float32",
+                                    sharding=NamedSharding(mesh, x_spec))
+    return jax.jit(fwd).lower(dyn_in, x_shaped).compile().as_text()
+
+
+def main(argv: Optional[list] = None) -> int:
+    import sys
+
+    from qtpu.bench.overlap import aot_topology_mesh
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    t1_ms = 8.477                   # BENCH_r03: 15,099.8 img/s @ B=128
+    batch = 128
+    for i, a in enumerate(argv):
+        if a == "--t1-ms":
+            t1_ms = float(argv[i + 1])
+        if a == "--batch":
+            batch = int(argv[i + 1])
+
+    # (topology, dp, tp) — 2/4/8 chips; pure DP (the product serving axis),
+    # pure TP, and DP×TP mixes.  2-chip cases use a 2-device submesh of the
+    # smallest v5e topology (1x2 is not a valid chips_per_host layout).
+    cases = [("v5e:2x2x1", 2, 1), ("v5e:2x2x1", 4, 1), ("v5e:2x4x1", 8, 1),
+             ("v5e:2x2x1", 1, 2), ("v5e:2x2x1", 1, 4), ("v5e:2x2x1", 2, 2),
+             ("v5e:2x4x1", 1, 8), ("v5e:2x4x1", 4, 2)]
+    results = []
+    for topo, dp, tp in cases:
+        n = dp * tp
+        try:
+            from jax.sharding import Mesh
+
+            axes = ("model",) if dp == 1 else ("data", "model")
+            devs = aot_topology_mesh(topo, axes=("model",)).devices.ravel()
+            assert len(devs) >= n, (topo, n)
+            mesh = (Mesh(devs[:n], ("model",)) if dp == 1
+                    else Mesh(devs[:n].reshape(dp, tp), axes))
+            # weak-scale the data axis: per-chip batch stays `batch`
+            hlo = compile_engine_tp(batch * dp, mesh)
+        except Exception as e:                          # noqa: BLE001
+            print(json.dumps(dict(topology=topo, dp=dp, tp=tp,
+                                  error=f"{type(e).__name__}: {e}"[:200])),
+                  flush=True)
+            continue
+        row = project(t1_ms / 1e3, hlo, n, tp=tp)
+        row.update(topology=topo, dp=dp, batch_per_chip=batch * dp // n,
+                   batch_total=batch * dp, model="MODEL")
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    print("\n| chips | mesh | ICI MB/step | t_ici ms | eff (no overlap) | "
+          "eff (scheduled) |", flush=True)
+    print("|---|---|---|---|---|---|", flush=True)
+    for r in results:
+        print(f"| {r['n_devices']} | dp={r['dp']},tp={r['tp']} "
+              f"| {r['ici_bytes_per_device']/1e6:.1f} "
+              f"| {r['t_ici_ms']:.2f} | {r['eff_worstcase_pct']}% "
+              f"| {r['eff_scheduled_pct']}% |", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
