@@ -46,8 +46,10 @@ class MobileNetV2Int8Engine:
         # dw_shifted: depthwise convs as shifted elementwise FMAs (pure XLA,
         # bit-exact — qops.qdepthwise_shifted) instead of the grouped-conv
         # op; targets the measured 186-409 GB/s grouped-conv ceiling with
-        # the HBM-rate elementwise-fusion path. Opt-in pending the chip A/B
-        # (scripts/chip_dw_shifted_ab.py).
+        # the HBM-rate elementwise-fusion path.  True = all depthwise convs;
+        # "s2" = strided ones only (the per-shape roofline sweep shows
+        # shifted wins on stride-2 dw shapes, grouped conv on stride-1 —
+        # scripts/chip_conv_shape_roofline.py, round 4).
         self.dw_shifted = dw_shifted
         # use_pallas=False by default: MobileNet's channel counts are mostly
         # not lane-aligned, so the (M, C) reshapes around the Pallas GEMMs are
@@ -145,7 +147,9 @@ class MobileNetV2Int8Engine:
                 y = conv_xla(y, dw, strides=(stride, stride), groups=c,
                              relu=True, act_max=6.0,
                              requant=grid_of(project), padding=self._pad3,
-                             dw_shifted=self.dw_shifted)
+                             dw_shifted=(self.dw_shifted is True
+                                         or (self.dw_shifted == "s2"
+                                             and stride > 1)))
                 if stride == 1 and x_q.shape[-1] == cout:
                     # inverted residual: add fused into the project epilogue
                     x_q = gemm_1x1(y, project, relu=False, requant=nxt,

@@ -105,7 +105,9 @@ class MobileNetV1Int8Engine:
                 c = x_q.shape[-1]
                 y = conv_xla(x_q, dw, strides=(s, s), groups=c, relu=True,
                              requant=grid_of(pw), padding=self._pad3,
-                             dw_shifted=self.dw_shifted)
+                             dw_shifted=(self.dw_shifted is True
+                                         or (self.dw_shifted == "s2"
+                                             and s > 1)))
                 x_q = gemm_1x1(y, pw, relu=True, requant=nxt,
                                out_dtype=jnp.int8 if nxt is not None
                                else jnp.float32,

@@ -48,6 +48,11 @@ def test_engine_dw_shifted_is_numerically_identical():
     y_sh = MobileNetV2Int8Engine(sv, num_classes=10,
                                  dw_shifted=True).forward(x)
     np.testing.assert_array_equal(np.asarray(y_sh), np.asarray(y_ref))
+    # "s2" = shifted on strided depthwise convs only (round-4 per-shape
+    # roofline dispatch) — must also be a numeric no-op
+    y_s2 = MobileNetV2Int8Engine(sv, num_classes=10,
+                                 dw_shifted="s2").forward(x)
+    np.testing.assert_array_equal(np.asarray(y_s2), np.asarray(y_ref))
 
 
 def test_v1_engine_dw_shifted_is_numerically_identical():
@@ -66,3 +71,6 @@ def test_v1_engine_dw_shifted_is_numerically_identical():
     y_sh = MobileNetV1Int8Engine(sv, num_classes=10,
                                  dw_shifted=True).forward(x)
     np.testing.assert_array_equal(np.asarray(y_sh), np.asarray(y_ref))
+    y_s2 = MobileNetV1Int8Engine(sv, num_classes=10,
+                                 dw_shifted="s2").forward(x)
+    np.testing.assert_array_equal(np.asarray(y_s2), np.asarray(y_ref))
