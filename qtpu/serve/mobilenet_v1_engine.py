@@ -36,7 +36,7 @@ class MobileNetV1Int8Engine:
     """Flat int8 inference over frozen MobileNet-v1 qweights."""
 
     def __init__(self, variables: Dict[str, Any], num_classes: int,
-                 use_pallas: bool = False, dw_shifted: bool = False,
+                 use_pallas: bool = False, dw_shifted="s2",
                  torch_pad: bool = False):
         # torch_pad: torchvision geometry — explicit (1,1) pads on the
         # strided 3x3 stem/depthwise convs (see MobileNetV2Int8Engine).
@@ -46,7 +46,13 @@ class MobileNetV1Int8Engine:
         # MobileNet channel counts are mostly not lane-aligned, so the (M, C)
         # reshapes around Pallas GEMMs are physical relayouts; the XLA NHWC
         # path fuses the same folded epilogues without them.
-        # dw_shifted: see MobileNetV2Int8Engine (same opt-in experiment).
+        # dw_shifted: see MobileNetV2Int8Engine.  Default "s2" for v1 ONLY:
+        # the round-4 e2e A/B (scripts/chip_dw_shifted_ab.py, B=128, 3
+        # interleaved trials) measured v1 s2 1.062x grouped (36.1k vs 34.0k
+        # img/s) while v2 s2 lost 0.899x — v1's stride-2 blocks are wider
+        # (64-512 ch) where the shifted form's VPU FMAs beat the grouped
+        # conv's strided windows; all modes are bit-exact (asserted in the
+        # A/B and in tests).
         self.qw = variables["qweights"]
         self.num_classes = num_classes
         self.use_pallas = use_pallas

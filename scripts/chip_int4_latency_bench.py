@@ -69,7 +69,12 @@ def main() -> int:
     packed = "--packed" in sys.argv
     sv8 = freeze_vars(QuantPolicy.int8_ptq())
     sv4 = freeze_vars(QuantPolicy.int4_weight_only(exclude=("stem*", "fc")))
+    # control: int8 with the SAME fp32 exclusions as the int4 config — an
+    # excluded layer runs fp32 (nn/config.py), so without this control any
+    # int4-vs-int8 delta could be the fp32 stem/fc, not the weight width.
+    sv8x = freeze_vars(QuantPolicy.int8_ptq(exclude=("stem*", "fc")))
     variants = [("int8", ResNetInt8Engine(sv8, ARCH)),
+                ("int8-excl", ResNetInt8Engine(sv8x, ARCH)),
                 ("int4w-xla", ResNetInt8Engine(sv4, ARCH))]
     if packed:
         variants.append(
@@ -94,7 +99,8 @@ def main() -> int:
         for name, _ in variants:
             t = min(rows[name][B])
             cells.append(f"{t*1e3:.3f} ms ({B/t:.0f} img/s)")
-        best4 = min(min(rows[n][B]) for n, _ in variants if n != "int8")
+        best4 = min(min(rows[n][B]) for n, _ in variants
+                    if n.startswith("int4"))
         print(f"| {B} | " + " | ".join(cells) +
               f" | {t8/best4:.2f}x |", flush=True)
     return 0
