@@ -40,7 +40,15 @@ def main() -> int:
 
     model = get_model("resnet50", num_classes=1000, cifar_stem=False)
     x0 = jax.random.normal(key, (8, 224, 224, 3))
-    qmodel = convert_model(model, QuantPolicy.int8_ptq())
+    # Serving config: int8 everywhere except the fp32 stem — the
+    # reference's canonical first-layer exclusion (convert_model(net,
+    # exclude=[first, ...]), SURVEY §1.2 R1), strictly better top-1, and
+    # measured +2.6% e2e at B=128 (scripts/chip_stem_excl_ab.py, 5
+    # interleaved trials: 15,524 vs 15,130 img/s — the 7x7 Ci=3 stem is
+    # the chip's worst int8 shape, 3/128 MXU lanes).  Adopted round 4;
+    # r1-r3 benches ran full-int8, so +2.6% of the r3->r4 delta is this
+    # config change, not kernel progress (BASELINE.md round-4).
+    qmodel = convert_model(model, QuantPolicy.int8_ptq(exclude=("stem*",)))
     qvars = jax.jit(qmodel.init, static_argnames="train")(key, x0, train=True)
     qvars = calibrate(qmodel, dict(qvars), [x0])
     _, svars = freeze(qmodel, qvars, x0)
@@ -99,6 +107,7 @@ def main() -> int:
     print(json.dumps({
         "metric": "resnet50_int8_images_per_sec_chip",
         "value": round(img_s, 1),
+        "quant": "int8, fp32 stem (reference-canonical exclusion, r4)",
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / roofline_img_s, 4),
         "batch": batch,
