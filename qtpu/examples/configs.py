@@ -86,6 +86,18 @@ CONFIGS = {
         dataset="imagenet", num_classes=1000, image_size=224, method="ptq",
         per_channel=True, act_observer="minmax", fold_bn=True, batch_size=16,
         n_train=2048, n_eval=512, fp32_epochs=2),
+    # Beyond BASELINE.json: the round-4 RECOMMENDED serving config — config
+    # 4 with the reference's canonical first-layer exclusion (fp32 stem).
+    # Measured +2.6% e2e at B=128 (scripts/chip_stem_excl_ab.py; the 7x7
+    # Ci=3 stem is the chip's worst int8 shape) and strictly better top-1;
+    # bench.py's headline uses this shape.  Config 4 keeps its original
+    # definition for round-over-round comparability.
+    "resnet50_imagenet_int8_ptq_fp32stem": ExperimentConfig(
+        name="resnet50_imagenet_int8_ptq_fp32stem", model="resnet50",
+        dataset="imagenet", num_classes=1000, image_size=224, method="ptq",
+        per_channel=True, act_observer="minmax", fold_bn=True, batch_size=16,
+        n_train=2048, n_eval=512, fp32_epochs=2, serve=True,
+        exclude=("stem*",)),
     # BASELINE.json:11 — config 5
     "resnet50_int4w_int8a_qat": ExperimentConfig(
         name="resnet50_int4w_int8a_qat", model="resnet50",

@@ -159,7 +159,15 @@ def run_experiment(cfg: ExperimentConfig, seed: int = 0, verbose: bool = True,
         # the engine from the TP-SHARDED variables outside jit, and the
         # captured sharded weights keep their placements in the jitted call.
         forward_factory = None
-        if cfg.model in ("resnet18", "resnet50") and not cfg.exclude:
+        # stem*/fc excludes are fine: the flat engine runs those layers in
+        # fp32 with folded BN (the round-4 recommended fp32-stem config
+        # serves through here — tests/test_engine.py::
+        # test_engine_fp32_stem_headline_config).  Arbitrary mid-block
+        # excludes stay on the module path (engine has no fp32 fallback
+        # for block convs).
+        _ENGINE_OK_EXCLUDES = {"stem", "stem*", "fc"}
+        if (cfg.model in ("resnet18", "resnet50")
+                and set(cfg.exclude) <= _ENGINE_OK_EXCLUDES):
             from qtpu.serve.resnet_engine import ResNetInt8Engine
 
             arch = dict(

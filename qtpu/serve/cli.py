@@ -27,6 +27,7 @@ blast radius (engine watchdog → 503).
 from __future__ import annotations
 
 import argparse
+import fnmatch
 import json
 import signal
 import sys
@@ -96,14 +97,25 @@ def build_engine(cfg, *, tp: int = 1, dp: Optional[int] = None,
         dp = n_dev // tp
     mesh = make_mesh(dp=dp, tp=tp)
 
-    # Flat int8-resident engine for ResNet archs without custom excludes
-    # (same dispatch rule as qtpu.examples.run) — built from the TP-SHARDED
-    # variables inside the ServingEngine constructor so placements stick.
+    # Flat int8-resident engine for ResNet archs (same dispatch rule as
+    # qtpu.examples.run) — built from the TP-SHARDED variables inside the
+    # ServingEngine constructor so placements stick.  stem*/fc excludes run
+    # fp32 inside the flat engine (the round-4 recommended fp32-stem config
+    # serves through here); arbitrary mid-block excludes stay on the module
+    # path; an excluded STEM has no int8 ingest grid, so --uint8-ingest
+    # fails fast.
     forward_factory = None
     preprocess_fn = None
     raw_dtype = np.float32
     serve_path = "module"
-    if cfg.model in ("resnet18", "resnet50") and not cfg.exclude:
+    if uint8_ingest and any(fnmatch.fnmatch("stem", pat)
+                            for pat in cfg.exclude):
+        raise SystemExit("--uint8-ingest needs an int8-quantized stem, but "
+                         f"this config excludes it (exclude={cfg.exclude}); "
+                         "host-side ingest quantizes onto the stem's grid")
+    _ENGINE_OK_EXCLUDES = {"stem", "stem*", "fc"}
+    if (cfg.model in ("resnet18", "resnet50")
+            and set(cfg.exclude) <= _ENGINE_OK_EXCLUDES):
         from qtpu.serve.resnet_engine import ResNetInt8Engine
 
         arch = dict(

@@ -66,6 +66,38 @@ def test_engine_matches_module_serve(bottleneck, symmetric, width,
     assert agree == 1.0
 
 
+def test_engine_fp32_stem_headline_config():
+    """The round-4 headline serving config — int8 with the reference-
+    canonical fp32 stem (bench.py, +2.6% e2e receipted in
+    scripts/chip_stem_excl_ab.py) — must hold engine/module parity like
+    every other config."""
+    m = get_model("resnet50", num_classes=10, cifar_stem=True)
+    m = m.clone(stage_sizes=(1, 1, 1, 1))
+    x = jax.random.normal(KEY, (4, 32, 32, 3))
+    pol = QuantPolicy.int8_ptq(exclude=("stem*",))
+    qm = convert_model(m, pol)
+    v = dict(jax.jit(qm.init, static_argnames="train")(KEY, x, train=True))
+    tr = jax.jit(lambda v, xx: qm.apply(
+        v, xx, train=True, mutable=["batch_stats", "quant_stats"]))
+    for i in range(2):
+        _, mut = tr(v, jax.random.normal(jax.random.fold_in(KEY, i),
+                                         (4, 32, 32, 3)))
+        v.update(mut)
+    v = calibrate(qm, v, [x])
+    sm, sv = freeze(qm, v, x)
+    y_module = jax.jit(sm.apply)(sv, x)
+
+    arch = dict(stage_sizes=(1, 1, 1, 1), width=64, bottleneck=True,
+                cifar_stem=True, num_classes=10)
+    eng = ResNetInt8Engine(sv, arch, use_pallas=False)
+    y_eng = eng.forward(x)
+    rel = float(jnp.linalg.norm(y_eng - y_module) /
+                jnp.linalg.norm(y_module))
+    assert rel < 0.10, f"engine deviates too much: rel={rel}"
+    agree = float(jnp.mean(jnp.argmax(y_eng, -1) == jnp.argmax(y_module, -1)))
+    assert agree == 1.0
+
+
 def test_engine_excluded_stem_fc_int4():
     """Config-5 shape: int4 weights, stem*/fc excluded → fp32 inside the
     flat engine (stem BN folded with running stats, fc plain matmul)."""
