@@ -207,6 +207,44 @@ def test_uint8_ingest_rejected_for_module_path():
         build_engine(CONFIGS["lenet_mnist_int8"], uint8_ingest=True)
 
 
+def test_uint8_ingest_rejected_for_excluded_stem():
+    """The fp32-stem recommended config has no int8 ingest grid —
+    --uint8-ingest must fail fast with the reason, not crash lazily at the
+    first request (serve/cli.py fail-fast added round 4)."""
+    from qtpu.examples.configs import CONFIGS
+    from qtpu.serve.cli import build_engine
+
+    with pytest.raises(SystemExit, match="excludes"):
+        build_engine(CONFIGS["resnet50_imagenet_int8_ptq_fp32stem"],
+                     uint8_ingest=True)
+
+
+def test_build_engine_fp32_stem_flat_path():
+    """The recommended fp32-stem config reaches the flat-engine path (its
+    stem*/fc exclusions are engine-supported; round-4 dispatch rule)."""
+    import dataclasses
+
+    from qtpu.examples.configs import CONFIGS
+
+    import numpy as np
+
+    cfg = dataclasses.replace(
+        CONFIGS["resnet50_imagenet_int8_ptq_fp32stem"],
+        image_size=32, num_classes=10, width=16, n_train=8,
+        calib_batches=1, batch_size=4)
+    from qtpu.serve.cli import build_engine
+
+    engine, meta = build_engine(cfg, buckets=(2,), max_wait_ms=0.5)
+    try:
+        assert meta["serve_path"] == "flat-engine", meta
+        x = np.random.default_rng(0).normal(
+            size=(2, 32, 32, 3)).astype(np.float32)
+        y = engine.predict(x)
+        assert y.shape == (2, cfg.num_classes)
+    finally:
+        engine.stop()
+
+
 def test_build_engine_mobilenet_flat_path():
     """MobileNet configs serve through their flat int8 engines."""
     import dataclasses
