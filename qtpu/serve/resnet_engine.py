@@ -63,7 +63,7 @@ class ResNetInt8Engine:
 
     def __init__(self, variables: Dict[str, Any], arch: Dict[str, Any],
                  use_pallas: bool = False, min_ci_pallas: int = 64,
-                 packed_int4: bool = False):
+                 packed_int4: bool = False, stem_dtype=jnp.float32):
         self.qw = variables["qweights"]
         # fp32 params/batch-stats: only consulted for *excluded* layers
         # (config 5 excludes stem*/fc — SURVEY.md §1.2 canonical first/last
@@ -98,6 +98,12 @@ class ResNetInt8Engine:
         self._qstage_prep: Dict[int, Dict[str, Any]] = {}
         # Excluded stem/fc run in fp32 inside the flat engine (BN folded with
         # running stats — same fold freeze applies to quantized ConvBNs).
+        # stem_dtype=jnp.bfloat16 runs the excluded stem's conv in bf16
+        # (input+weights cast, f32 accumulate): halves the stem's dominant
+        # input bytes (77 MB f32 @ B=128/224²) with rounding noise far below
+        # the int8 quantization step that immediately follows.  Chosen by
+        # same-process A/B (scripts/chip_stem_dtype_ab.py).
+        self.stem_dtype = stem_dtype
         self._stem_fp32 = (self._fold_fp32("stem")
                            if self._node("stem") is None else None)
         self._fc_fp32 = None
@@ -200,7 +206,8 @@ class ResNetInt8Engine:
                     "int8 ingest is unavailable with an excluded fp32 stem")
             w, b = self._stem_fp32
             y = jax.lax.conv_general_dilated(
-                jnp.asarray(x, jnp.float32), w, window_strides=strides,
+                jnp.asarray(x, self.stem_dtype),
+                jnp.asarray(w, self.stem_dtype), window_strides=strides,
                 padding=conv_pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32) + b
             y = jnp.maximum(y, 0.0)
