@@ -59,9 +59,11 @@ def main() -> int:
     peak_int8 = 394e12                    # v5e nominal int8 OPS
     roofline_img_s = peak_int8 / ops_per_image
 
-    # B=128 XLA path is the measured operating point (round 2:
-    # scripts/chip_vmem_sweep.py — B=256 and raised scoped-vmem budgets are
-    # all slower; Pallas 1x1 injection is a net loss, see resnet_engine).
+    # B=128 XLA path is the measured operating point — re-swept on THIS
+    # round's program (fp32 stem) in round 5: B∈{64,128,256} × scoped-VMEM
+    # {default, 32M, 64M}, B=128/default wins again (15,424 img/s medians;
+    # scripts/chip_operating_point_r5.py, receipt bench_receipts/
+    # operating_point_r5.jsonl; originally chip_vmem_sweep.py round 2).
     # The chip drifts 20-30% run-to-run (verify SKILL), so several slope-fit
     # samples are taken and best + spread are reported (VERDICT r1 weak#1).
     batch = 128 if platform == "tpu" else 8

@@ -98,6 +98,23 @@ CONFIGS = {
         per_channel=True, act_observer="minmax", fold_bn=True, batch_size=16,
         n_train=2048, n_eval=512, fp32_epochs=2, serve=True,
         exclude=("stem*",)),
+    # Round-5 RECOMMENDED MobileNet serving configs: the same reference-
+    # canonical first-layer exclusion, decided by the same-process e2e A/B
+    # (scripts/chip_mn_stem_excl_ab.py, receipt bench_receipts/
+    # mn_stem_excl_ab_r5.jsonl): v1 1.047x, v2 1.058x over full-int8 at
+    # B=128 — every trial favored exclusion — and strictly better top-1
+    # (the fp32 stem removes the first quantization).  The 3x3 Ci=3 stems
+    # are lane-starved like ResNet's 7x7 (3/128 MXU lanes).
+    "mobilenetv1_imagenet_int8_ptq_fp32stem": ExperimentConfig(
+        name="mobilenetv1_imagenet_int8_ptq_fp32stem", model="mobilenet_v1",
+        dataset="imagenet", num_classes=1000, image_size=224, method="ptq",
+        per_channel=True, act_observer="minmax", fold_bn=True, batch_size=16,
+        n_train=2048, n_eval=512, fp32_epochs=2, exclude=("stem*",)),
+    "mobilenetv2_imagenet_int8_ptq_fp32stem": ExperimentConfig(
+        name="mobilenetv2_imagenet_int8_ptq_fp32stem", model="mobilenet_v2",
+        dataset="imagenet", num_classes=1000, image_size=224, method="ptq",
+        per_channel=True, act_observer="minmax", fold_bn=True, batch_size=16,
+        n_train=2048, n_eval=512, fp32_epochs=2, exclude=("stem*",)),
     # BASELINE.json:11 — config 5
     "resnet50_int4w_int8a_qat": ExperimentConfig(
         name="resnet50_int4w_int8a_qat", model="resnet50",

@@ -154,33 +154,18 @@ def run_experiment(cfg: ExperimentConfig, seed: int = 0, verbose: bool = True,
                                jnp.asarray(train_ds.images[:2]))
         n_dev = len(jax.devices())
         tp = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
-        # ResNet configs serve through the flat int8-resident engine
-        # (ROADMAP: engine-based serving for config 4): the factory builds
-        # the engine from the TP-SHARDED variables outside jit, and the
-        # captured sharded weights keep their placements in the jitted call.
-        forward_factory = None
-        # stem*/fc excludes are fine: the flat engine runs those layers in
-        # fp32 with folded BN (the round-4 recommended fp32-stem config
-        # serves through here — tests/test_engine.py::
-        # test_engine_fp32_stem_headline_config).  Arbitrary mid-block
-        # excludes stay on the module path (engine has no fp32 fallback
-        # for block convs).
-        _ENGINE_OK_EXCLUDES = {"stem", "stem*", "fc"}
-        if (cfg.model in ("resnet18", "resnet50")
-                and set(cfg.exclude) <= _ENGINE_OK_EXCLUDES):
-            from qtpu.serve.resnet_engine import ResNetInt8Engine
+        # Flat-engine dispatch: ONE shared policy (qtpu.serve.dispatch, also
+        # used by the serve CLI — VERDICT r4 #9).  stem/fc excludes run
+        # fp32 inside the flat engines (tests/test_engine.py::
+        # test_engine_fp32_stem_headline_config); other excludes → module
+        # path.  Imported torch checkpoints carry torchvision geometry; the
+        # flat engines run the same explicit pads.
+        from qtpu.serve.dispatch import make_flat_forward
 
-            arch = dict(
-                stage_sizes=((3, 4, 6, 3) if cfg.model == "resnet50"
-                             else (2, 2, 2, 2)),
-                width=cfg.width or 64, bottleneck=cfg.model == "resnet50",
-                cifar_stem=cfg.image_size <= 64,
-                num_classes=cfg.num_classes,
-                # imported torch checkpoints carry torchvision geometry;
-                # the flat engine runs the same explicit pads
-                torch_pad=bool(torch_ckpt))
-            forward_factory = (
-                lambda sv: ResNetInt8Engine(sv, arch)._forward)
+        forward_factory, _, _, serve_path = make_flat_forward(
+            cfg.model, exclude=cfg.exclude, num_classes=cfg.num_classes,
+            image_size=cfg.image_size, width=cfg.width,
+            torch_pad=bool(torch_ckpt))
         engine = ServingEngine(smodel, svars,
                                mesh=make_mesh(dp=n_dev // tp, tp=tp),
                                batch_buckets=(cfg.batch_size,),
@@ -195,8 +180,7 @@ def run_experiment(cfg: ExperimentConfig, seed: int = 0, verbose: bool = True,
                           for k, vv in engine.stats().items()},
                        "serve_top1": round(serve_top1, 4),
                        "mesh": f"dp={n_dev // tp},tp={tp}",
-                       "serve_path": ("flat-engine" if forward_factory is not None
-                                      else "module")}
+                       "serve_path": serve_path}
         engine.stop()
 
     result = {

@@ -27,7 +27,6 @@ blast radius (engine watchdog → 503).
 from __future__ import annotations
 
 import argparse
-import fnmatch
 import json
 import signal
 import sys
@@ -48,6 +47,7 @@ def build_engine(cfg, *, tp: int = 1, dp: Optional[int] = None,
                  max_wait_ms: float = 2.0,
                  round_timeout_s: Optional[float] = None,
                  mean: Sequence[float] = (0.0,), std: Sequence[float] = (1.0,),
+                 stem_dtype=None, pipeline: bool = True,
                  seed: int = 0):
     """Build the full serving stack for an ExperimentConfig; returns
     ``(engine, info)``.  See the module docstring for the assembly order."""
@@ -97,108 +97,25 @@ def build_engine(cfg, *, tp: int = 1, dp: Optional[int] = None,
         dp = n_dev // tp
     mesh = make_mesh(dp=dp, tp=tp)
 
-    # Flat int8-resident engine for ResNet archs (same dispatch rule as
-    # qtpu.examples.run) — built from the TP-SHARDED variables inside the
-    # ServingEngine constructor so placements stick.  stem*/fc excludes run
-    # fp32 inside the flat engine (the round-4 recommended fp32-stem config
-    # serves through here); arbitrary mid-block excludes stay on the module
-    # path; an excluded STEM has no int8 ingest grid, so --uint8-ingest
-    # fails fast.
-    forward_factory = None
-    preprocess_fn = None
-    raw_dtype = np.float32
-    serve_path = "module"
-    if uint8_ingest and any(fnmatch.fnmatch("stem", pat)
-                            for pat in cfg.exclude):
-        raise SystemExit("--uint8-ingest needs an int8-quantized stem, but "
-                         f"this config excludes it (exclude={cfg.exclude}); "
-                         "host-side ingest quantizes onto the stem's grid")
-    _ENGINE_OK_EXCLUDES = {"stem", "stem*", "fc"}
-    if (cfg.model in ("resnet18", "resnet50")
-            and set(cfg.exclude) <= _ENGINE_OK_EXCLUDES):
-        from qtpu.serve.resnet_engine import ResNetInt8Engine
+    # Flat int8-resident engine dispatch: ONE shared policy
+    # (qtpu.serve.dispatch, also used by qtpu.examples.run — VERDICT r4 #9).
+    # stem/fc excludes run fp32 inside the flat engines (the recommended
+    # fp32-stem config serves through here); other excludes → module path.
+    # --uint8-ingest: int8 codes when the stem is quantized, raw uint8 with
+    # on-device normalize when the stem is excluded (the r5 composition).
+    from qtpu.serve.dispatch import make_flat_forward
 
-        arch = dict(
-            stage_sizes=((3, 4, 6, 3) if cfg.model == "resnet50"
-                         else (2, 2, 2, 2)),
-            width=cfg.width or 64, bottleneck=cfg.model == "resnet50",
-            cifar_stem=cfg.image_size <= 64, num_classes=cfg.num_classes,
-            torch_pad=torch_pad)
-        cell = {}
-        if uint8_ingest:
-            from qtpu.data.native import preprocess_quantize
-
-            def forward_factory(sv):
-                cell["eng"] = eng = ResNetInt8Engine(sv, arch)
-                return lambda xq: eng._forward(xq, pre_quantized=True)
-
-            _mean = np.asarray(mean, np.float32) * np.ones(shape[-1],
-                                                           np.float32)
-            _std = np.asarray(std, np.float32) * np.ones(shape[-1],
-                                                         np.float32)
-
-            def preprocess_fn(imgs_u8):
-                if "grid" not in cell:
-                    s, zp = cell["eng"].stem_grid()[:2]
-                    cell["grid"] = (float(s), int(zp))
-                s, zp = cell["grid"]
-                return preprocess_quantize(imgs_u8, _mean, _std, s, zp)
-
-            raw_dtype = np.uint8
-            serve_path = "flat-engine+int8-ingest"
-        else:
-            def forward_factory(sv):
-                cell["eng"] = eng = ResNetInt8Engine(sv, arch)
-                return eng._forward
-
-            serve_path = "flat-engine"
-    elif cfg.model in ("mobilenet_v1", "mobilenet_v2") and not cfg.exclude:
-        if cfg.model == "mobilenet_v2":
-            from qtpu.serve.mobilenet_engine import MobileNetV2Int8Engine \
-                as _MNEngine
-        else:
-            from qtpu.serve.mobilenet_v1_engine import MobileNetV1Int8Engine \
-                as _MNEngine
-        nc = cfg.num_classes
-        cell = {}
-        if uint8_ingest:
-            from qtpu.data.native import preprocess_quantize
-
-            def forward_factory(sv):
-                cell["eng"] = eng = _MNEngine(sv, num_classes=nc,
-                                              torch_pad=torch_pad)
-                return lambda xq: eng._forward(xq, pre_quantized=True)
-
-            _mean = np.asarray(mean, np.float32) * np.ones(shape[-1],
-                                                           np.float32)
-            _std = np.asarray(std, np.float32) * np.ones(shape[-1],
-                                                         np.float32)
-
-            def preprocess_fn(imgs_u8):
-                if "grid" not in cell:
-                    s, zp = cell["eng"].stem_grid()[:2]
-                    cell["grid"] = (float(s), int(zp))
-                s, zp = cell["grid"]
-                return preprocess_quantize(imgs_u8, _mean, _std, s, zp)
-
-            raw_dtype = np.uint8
-            serve_path = "flat-engine+int8-ingest"
-        else:
-            def forward_factory(sv):
-                return _MNEngine(sv, num_classes=nc,
-                                 torch_pad=torch_pad)._forward
-
-            serve_path = "flat-engine"
-    elif uint8_ingest:
-        raise SystemExit("--uint8-ingest needs a flat-engine arch "
-                         "(resnet/mobilenet without excludes): the module "
-                         "SERVE path takes f32 images")
+    forward_factory, preprocess_fn, raw_dtype, serve_path = make_flat_forward(
+        cfg.model, exclude=cfg.exclude, num_classes=cfg.num_classes,
+        image_size=cfg.image_size, width=cfg.width, torch_pad=torch_pad,
+        uint8_ingest=uint8_ingest, mean=mean, std=std,
+        stem_dtype=stem_dtype)
 
     engine = ServingEngine(
         smodel, svars, mesh=mesh, batch_buckets=tuple(buckets),
         max_wait_ms=max_wait_ms, forward_factory=forward_factory,
         preprocess_fn=preprocess_fn, raw_dtype=raw_dtype,
-        round_timeout_s=round_timeout_s)
+        round_timeout_s=round_timeout_s, pipeline=pipeline)
     engine.warmup(shape)
     info = dict(config=cfg.name, model=cfg.model, image_shape=shape,
                 mesh=f"dp={dp},tp={tp}", buckets=list(engine.buckets),
@@ -298,6 +215,13 @@ def main(argv=None) -> int:
                    help="per-channel normalize mean(s), for --uint8-ingest")
     p.add_argument("--std", default="1.0",
                    help="per-channel normalize std(s), for --uint8-ingest")
+    p.add_argument("--stem-dtype", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="excluded-stem conv dtype (measured a wash at B=128 "
+                        "— scripts/chip_stem_dtype_ab.py)")
+    p.add_argument("--no-pipeline", action="store_true",
+                   help="disable the double-buffered scheduler (serial "
+                        "upload->forward->download rounds)")
     p.add_argument("--load-state", help="fp32/QAT orbax checkpoint to quantize")
     p.add_argument("--torch-ckpt",
                    help="pretrained torchvision-convention .pth to import as "
@@ -315,6 +239,7 @@ def main(argv=None) -> int:
     honor_platform_env()
     enable_persistent_cache()
     distributed = initialize_from_env()
+    import jax.numpy as jnp
 
     from qtpu.examples.configs import CONFIGS
 
@@ -331,7 +256,9 @@ def main(argv=None) -> int:
         load_frozen=args.load_frozen, save_frozen=args.save_frozen,
         max_wait_ms=args.max_wait_ms, round_timeout_s=args.round_timeout,
         mean=[float(v) for v in args.mean.split(",")],
-        std=[float(v) for v in args.std.split(",")], seed=args.seed)
+        std=[float(v) for v in args.std.split(",")],
+        stem_dtype=(jnp.bfloat16 if args.stem_dtype == "bfloat16" else None),
+        pipeline=not args.no_pipeline, seed=args.seed)
     from qtpu.serve.http_front import serve_http
 
     # Handlers before the server, READY only after the port is bound:

@@ -1,0 +1,186 @@
+"""Flat-engine dispatch policy — ONE copy, shared by every entry point.
+
+Which configs serve through the flat int8-resident engines (vs the general
+module SERVE path) used to be decided by duplicated literal-string checks in
+``qtpu.serve.cli`` and ``qtpu.examples.run`` (round-4 advisor finding: a
+glob like ``"stem?"`` silently fell back to the module path in both, and any
+new geometry/exclusion feature risked landing in one entry point only).
+This module is the single source of truth:
+
+* eligibility is decided the same way the conversion layer decides
+  exclusion — ``fnmatch`` globs applied to the model's actual quantizable
+  layer paths (``qtpu.nn.config.QuantPolicy.spec_for``) — so the dispatch
+  predicate can never disagree with what ``convert_model`` excluded;
+* the flat engines handle fp32 ``stem``/``fc`` exclusions IN-ENGINE (the
+  reference's canonical first/last-layer idiom, SURVEY.md §1.2 R2 — round 4
+  measured the fp32 stem both faster and more accurate on ResNet); any
+  other excluded layer routes to the module path;
+* ingest plumbing (f32 / host-quantized int8 codes / raw uint8 with
+  on-device normalize) is assembled here once for all model families.
+"""
+from __future__ import annotations
+
+import fnmatch
+from typing import Iterable, Optional, Sequence, Tuple
+
+import numpy as np
+
+# stage_sizes per ResNet model name (models/resnet.py); MobileNet block
+# counts are fixed by their cfg tables (models/mobilenet.py).
+_RESNET_STAGES = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3)}
+_MNV2_BLOCKS = 17          # sum of repeats in mobilenet_engine.V2_CFG
+_MNV1_BLOCKS = 13          # len(mobilenet_v1_engine.V1_STRIDES)
+
+# Exclusions the flat engines run fp32 IN-ENGINE (BN folded at build).
+ENGINE_FP32_OK = frozenset({"stem", "fc"})
+
+
+def quantized_layer_paths(model: str) -> Tuple[str, ...]:
+    """Every quantizable layer path of ``model``, as the policy matcher sees
+    them ("/"-joined flax module paths — qtpu/nn/layers.py `_resolve`)."""
+    if model in _RESNET_STAGES:
+        paths = ["stem", "fc"]
+        convs = ("conv1", "conv2", "conv3") if model == "resnet50" \
+            else ("conv1", "conv2")
+        for i, n in enumerate(_RESNET_STAGES[model]):
+            for j in range(n):
+                blk = f"layer{i + 1}_{j}"
+                paths += [f"{blk}/{c}" for c in convs]
+                if j == 0:
+                    paths.append(f"{blk}/down")
+        return tuple(paths)
+    if model == "mobilenet_v2":
+        paths = ["stem", "head", "fc"]
+        for i in range(_MNV2_BLOCKS):
+            if i > 0:                       # block0 (t=1) has no expand
+                paths.append(f"block{i}/expand")
+            paths += [f"block{i}/dw", f"block{i}/project"]
+        return tuple(paths)
+    if model == "mobilenet_v1":
+        paths = ["stem", "fc"]
+        for i in range(_MNV1_BLOCKS):
+            paths += [f"block{i}/dw", f"block{i}/pw"]
+        return tuple(paths)
+    return ()
+
+
+def excluded_paths(model: str, exclude: Iterable[str]) -> frozenset:
+    """Which of the model's layer paths the exclude globs actually hit."""
+    pats = tuple(exclude)
+    return frozenset(p for p in quantized_layer_paths(model)
+                     if any(fnmatch.fnmatch(p, pat) for pat in pats))
+
+
+def flat_engine_eligible(model: str, exclude: Iterable[str]
+                         ) -> Tuple[bool, frozenset]:
+    """(eligible, excluded-layer set) for the flat int8 engines."""
+    if model not in (*_RESNET_STAGES, "mobilenet_v1", "mobilenet_v2"):
+        return False, frozenset()
+    exc = excluded_paths(model, exclude)
+    return exc <= ENGINE_FP32_OK, exc
+
+
+def resnet_arch(model: str, *, num_classes: int, image_size: int,
+                width: Optional[int] = None,
+                torch_pad: bool = False) -> dict:
+    """ResNetInt8Engine arch dict from config fields (one definition)."""
+    return dict(stage_sizes=_RESNET_STAGES[model],
+                width=width or 64, bottleneck=model == "resnet50",
+                cifar_stem=image_size <= 64, num_classes=num_classes,
+                torch_pad=torch_pad)
+
+
+def make_flat_forward(model: str, *, exclude: Sequence[str] = (),
+                      num_classes: int = 1000, image_size: int = 224,
+                      width: Optional[int] = None, torch_pad: bool = False,
+                      uint8_ingest: bool = False,
+                      mean: Sequence[float] = (0.0,),
+                      std: Sequence[float] = (1.0,),
+                      stem_dtype=None):
+    """The one engine-build policy: (forward_factory, preprocess_fn,
+    raw_dtype, serve_path).
+
+    * ineligible config → ``(None, None, float32, "module")`` (module SERVE
+      path); if ``uint8_ingest`` was requested there, SystemExit — the
+      module path takes f32 images;
+    * eligible, quantized stem + ``uint8_ingest`` → host-side fused
+      normalize+quantize onto the stem's grid (``qtpu.data.native``), the
+      engine consumes int8 codes (``forward_codes``);
+    * eligible, EXCLUDED fp32 stem + ``uint8_ingest`` → raw 0-255 uint8 on
+      the wire, normalized on device before the fp32 stem
+      (``forward_u8``) — same 4x transfer win, no ingest grid needed
+      (VERDICT r4 #2: the two round-4 serving wins now compose).
+    """
+    import jax.numpy as jnp
+
+    eligible, exc = flat_engine_eligible(model, exclude)
+    if not eligible:
+        if uint8_ingest:
+            raise SystemExit(
+                "--uint8-ingest needs a flat-engine config (resnet/mobilenet "
+                f"with excludes limited to stem/fc; this one excludes "
+                f"{sorted(exc) or list(exclude)}): the module SERVE path "
+                "takes f32 images")
+        return None, None, np.float32, "module"
+
+    stem_excluded = "stem" in exc
+    channels = 1 if image_size <= 28 else 3
+    normalize = (tuple(mean), tuple(std))
+    sdtype = stem_dtype if stem_dtype is not None else jnp.float32
+
+    def build(sv):
+        if model in _RESNET_STAGES:
+            from qtpu.serve.resnet_engine import ResNetInt8Engine
+
+            return ResNetInt8Engine(
+                sv, resnet_arch(model, num_classes=num_classes,
+                                image_size=image_size, width=width,
+                                torch_pad=torch_pad),
+                stem_dtype=sdtype, normalize=normalize)
+        if model == "mobilenet_v2":
+            from qtpu.serve.mobilenet_engine import MobileNetV2Int8Engine
+
+            return MobileNetV2Int8Engine(sv, num_classes=num_classes,
+                                         torch_pad=torch_pad,
+                                         stem_dtype=sdtype,
+                                         normalize=normalize)
+        from qtpu.serve.mobilenet_v1_engine import MobileNetV1Int8Engine
+
+        return MobileNetV1Int8Engine(sv, num_classes=num_classes,
+                                     torch_pad=torch_pad,
+                                     stem_dtype=sdtype, normalize=normalize)
+
+    cell = {}
+    if not uint8_ingest:
+        def forward_factory(sv):
+            cell["eng"] = eng = build(sv)
+            return eng._forward
+
+        return forward_factory, None, np.float32, "flat-engine"
+
+    if stem_excluded:
+        # raw-uint8 wire + on-device normalize before the fp32 stem
+        def forward_factory(sv):
+            cell["eng"] = eng = build(sv)
+            return lambda x8: eng._forward(x8, raw_u8=True)
+
+        return forward_factory, None, np.uint8, "flat-engine+u8-ingest"
+
+    # quantized stem: host-side fused normalize+quantize to int8 codes
+    from qtpu.data.native import preprocess_quantize
+
+    _mean = np.asarray(mean, np.float32) * np.ones(channels, np.float32)
+    _std = np.asarray(std, np.float32) * np.ones(channels, np.float32)
+
+    def forward_factory(sv):
+        cell["eng"] = eng = build(sv)
+        return lambda xq: eng._forward(xq, pre_quantized=True)
+
+    def preprocess_fn(imgs_u8):
+        if "grid" not in cell:
+            s, zp = cell["eng"].stem_grid()[:2]
+            cell["grid"] = (float(s), int(zp))
+        s, zp = cell["grid"]
+        return preprocess_quantize(imgs_u8, _mean, _std, s, zp)
+
+    return forward_factory, preprocess_fn, np.uint8, "flat-engine+int8-ingest"

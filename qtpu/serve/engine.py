@@ -52,7 +52,8 @@ class ServingEngine:
                  max_wait_ms: float = 2.0, forward_fn=None,
                  forward_factory=None, max_queue: int = 4096,
                  preprocess_fn=None, raw_dtype=np.float32,
-                 round_timeout_s: Optional[float] = None):
+                 round_timeout_s: Optional[float] = None,
+                 pipeline: bool = True):
         """``model``/``serve_vars``: a frozen SERVE module + variables.
 
         ``forward_fn(variables, batch) -> logits`` overrides the module apply.
@@ -73,6 +74,20 @@ class ServingEngine:
         codes (e.g. ``ResNetInt8Engine.forward_codes``); see
         ``qtpu.serve.cli.build_engine(uint8_ingest=True)``.
 
+        ``pipeline`` (single-host scheduler): double-buffer scheduler
+        rounds — batch k+1 is collected, host-preprocessed, and uploaded
+        while the device still computes batch k (JAX async dispatch; only
+        the RESOLVE step blocks, one round behind).  This overlaps the
+        host→device transfer (77 MB per f32 B=128 round) and host-side
+        packing with device compute — the round-4 verdict's last unmeasured
+        serving layer (the serial upload→forward→sync loop).  When the
+        queue is empty the pending round resolves immediately, so sparse
+        traffic sees no added latency; under saturation results resolve one
+        round late while throughput approaches the bare-forward rate
+        (measured: scripts/chip_engine_saturation_bench.py).  The
+        multi-host lockstep loop keeps serial rounds (the pending-count
+        allgather is the round barrier by design).
+
         ``round_timeout_s`` (multi-host only): deadline for one lockstep
         round (allgather + forward).  The lockstep allgather doubles as the
         round barrier, so a wedged/dead peer would otherwise block every
@@ -86,6 +101,8 @@ class ServingEngine:
         self.model = model
         self._preprocess = preprocess_fn
         self._raw_dtype = np.dtype(raw_dtype)
+        self._pipeline = bool(pipeline)
+        self._busy_mark = 0.0          # end of last accounted busy interval
         self._round_timeout_s = round_timeout_s
         self._round_start: Optional[float] = None
         self._inflight: list = []
@@ -223,12 +240,30 @@ class ServingEngine:
         except BaseException as e:  # noqa: BLE001 — anything kills serving
             self._error = e
             self._stop.set()
+            # futures that left the queue but were never resolved (the
+            # raising round's futures were already failed at the raise
+            # site — fut.done() guards the double-set)
+            for _, fut, _ in list(self._inflight):
+                if not fut.done():
+                    fut.set_exception(e)
+            self._inflight = []
             self._drain_queue()
 
     @property
     def healthy(self) -> bool:
         """False once the scheduler has died or the engine was stopped."""
         return self._error is None and not self._stop.is_set()
+
+    @staticmethod
+    def _round_in_flight(pending) -> bool:
+        """True while a dispatched round's device result is still computing
+        (non-blocking readiness probe; conservative False if unsupported)."""
+        if pending is None:
+            return False
+        try:
+            return not pending[2].is_ready()
+        except AttributeError:
+            return False
 
     def _bucket_for(self, n: int) -> int:
         for b in self.buckets:
@@ -237,64 +272,118 @@ class ServingEngine:
         return self.buckets[-1]
 
     def _loop(self) -> None:
+        """Single-host scheduler.
+
+        With ``pipeline=True`` (default) rounds are double-buffered: batch
+        k+1 is collected/preprocessed/uploaded and its forward DISPATCHED
+        (JAX async) while batch k's results are still being computed; only
+        the resolve step (device sync + download + future completion) runs
+        one round behind.  An empty queue resolves the pending round
+        immediately, so the pipeline adds no latency to sparse traffic.
+        ``self._inflight`` always holds every future not yet resolved so
+        the guarded wrapper can fail them on a scheduler crash.
+        """
         if self._procs > 1:
             self._loop_multihost()
             return
         max_b = self.buckets[-1]
+        pending = None                  # (batch, bucket, out_device, t_run)
         while not self._stop.is_set():
             try:
-                first = self._queue.get(timeout=0.1)
+                first = (self._queue.get_nowait() if pending is not None
+                         else self._queue.get(timeout=0.1))
             except queue.Empty:
+                if pending is not None:
+                    self._resolve_round(*pending)
+                    pending = None
+                    self._inflight = []
                 continue
             if first is None:
-                return
+                break
             batch = [first]
             deadline = time.monotonic() + self.max_wait_s
             while len(batch) < max_b:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
+                # Fill policy: past the deadline, dispatch — UNLESS a round
+                # is still computing on device, in which case keep topping
+                # up (dispatching early gains nothing while the device is
+                # busy, and partial buckets pad to full upload size; the
+                # first saturation measurement showed exactly this
+                # partial-batch regression).
+                past = time.monotonic() >= deadline
+                if past and not self._round_in_flight(pending):
                     break
+                timeout = (5e-4 if past
+                           else max(deadline - time.monotonic(), 5e-4))
                 try:
-                    item = self._queue.get(timeout=remaining)
+                    item = self._queue.get(timeout=timeout)
                 except queue.Empty:
-                    break
+                    continue
                 if item is None:
                     self._stop.set()
                     break
                 batch.append(item)
-            self._run_batch(batch)
+            # every unresolved future is tracked in _inflight so the guarded
+            # wrapper / a crash can fail them (they have left the queue)
+            self._inflight = list(batch) + (list(pending[0])
+                                            if pending else [])
+            dispatched = self._dispatch_round(batch)
+            if pending is not None:
+                self._resolve_round(*pending)
+            pending = dispatched
+            self._inflight = list(pending[0])
+            if not self._pipeline:
+                self._resolve_round(*pending)
+                pending = None
+                self._inflight = []
+        if pending is not None:
+            self._resolve_round(*pending)
+            self._inflight = []
 
-    def _run_batch(self, batch) -> None:
+    def _dispatch_round(self, batch):
+        """Pack, preprocess, upload, and ASYNC-dispatch one forward; returns
+        the pending round.  Failures fail this batch's futures and raise."""
         n = len(batch)
         b = self._bucket_for(n)
-        imgs = np.stack([item[0] for item in batch[:b]])
-        if len(imgs) < b:
-            pad = np.zeros((b - len(imgs), *imgs.shape[1:]), imgs.dtype)
-            imgs = np.concatenate([imgs, pad])
-        t_run = time.monotonic()
         try:
+            imgs = np.stack([item[0] for item in batch[:b]])
+            if len(imgs) < b:
+                pad = np.zeros((b - len(imgs), *imgs.shape[1:]), imgs.dtype)
+                imgs = np.concatenate([imgs, pad])
+            t_run = time.monotonic()
             x = self._upload(imgs)
-            out = np.asarray(jax.block_until_ready(self._fwd(self.vars, x)))
+            out = self._fwd(self.vars, x)       # async dispatch — no sync
         except BaseException as e:
-            # this batch's futures left the queue — fail them here before the
-            # guarded loop drains the rest
+            for _, fut, _ in batch:
+                fut.set_exception(e)
+            raise
+        # overflow beyond the largest bucket: requeue (shouldn't happen since
+        # the loop caps collection at max bucket size)
+        for item in batch[b:]:
+            self._queue.put(item)
+        return batch[:b], b, out, t_run
+
+    def _resolve_round(self, batch, b, out_dev, t_run) -> None:
+        """Sync + download one dispatched round and complete its futures."""
+        try:
+            out = np.asarray(jax.block_until_ready(out_dev))
+        except BaseException as e:
             for _, fut, _ in batch:
                 fut.set_exception(e)
             raise
         now = time.monotonic()
         with self._stats_lock:
-            self._images += n
+            self._images += len(batch)
             self._batches += 1
-            self._occupancy += n / b
-            self._busy_s += now - t_run
-            for _, _, t0 in batch[:b]:
+            self._occupancy += len(batch) / b
+            # busy time = union of in-flight intervals (rounds overlap under
+            # the pipelined scheduler; summing per-round spans would double
+            # count the overlap)
+            self._busy_s += now - max(t_run, self._busy_mark)
+            self._busy_mark = now
+            for _, _, t0 in batch:
                 self._latencies.append(now - t0)
-        for i, (_, fut, _) in enumerate(batch[:b]):
+        for i, (_, fut, _) in enumerate(batch):
             fut.set_result(out[i])
-        # overflow beyond the largest bucket: requeue (shouldn't happen since
-        # the loop caps collection at max bucket size)
-        for item in batch[b:]:
-            self._queue.put(item)
 
     # ---- multi-host lockstep scheduler --------------------------------
 

@@ -79,6 +79,58 @@ def dequant(x_q: Array, grid: Grid) -> Array:
     return (x_q.astype(jnp.float32) - zp.astype(jnp.float32)) * s
 
 
+def fold_bn_fp32(params: Dict, batch_stats: Dict, name: str,
+                 bn_eps: float = 1e-5):
+    """Eval-time BN fold of an EXCLUDED ConvBN's fp32 params → (W, b).
+
+    Excluded layers (the reference's canonical first/last exclusion,
+    SURVEY.md §1.2 R2) run fp32 inside the flat engines; their BN is folded
+    once at build time with running stats — the same fold freeze() applies
+    to quantized ConvBNs (qtpu/transform/freeze.py).
+    """
+    p = (params or {}).get(name)
+    if p is None or "kernel" not in p:
+        raise ValueError(f"layer {name} neither quantized nor in params")
+    w = jnp.asarray(p["kernel"], jnp.float32)
+    bn = (batch_stats or {}).get(name)
+    if bn is not None and "mean" in bn:
+        gamma = jnp.asarray(p["scale"], jnp.float32)
+        sigma = jnp.sqrt(jnp.asarray(bn["var"], jnp.float32) + bn_eps)
+        b = (jnp.asarray(p["bias"], jnp.float32)
+             - gamma * jnp.asarray(bn["mean"], jnp.float32) / sigma)
+        w = w * (gamma / sigma)
+    else:
+        b = jnp.asarray(p.get("bias", jnp.zeros((w.shape[-1],))), jnp.float32)
+    return w, b
+
+
+def fc_fp32_params(params: Dict):
+    """(kernel, bias) of an EXCLUDED fp32 fc layer from the params tree."""
+    p = (params or {}).get("fc")
+    if p is None or "kernel" not in p:
+        raise ValueError("fc neither quantized nor present in params")
+    return (jnp.asarray(p["kernel"], jnp.float32),
+            jnp.asarray(p.get("bias", jnp.zeros(p["kernel"].shape[-1])),
+                        jnp.float32))
+
+
+def u8_normalize_coeffs(mean, std, channels: int):
+    """Per-channel (a, b) with ``(x_u8/255 - mean)/std == x_u8*a + b``.
+
+    The on-device half of raw-uint8 ingest: raw 0-255 pixels cross the wire
+    (4x less transfer than f32 — the measured request-latency bottleneck,
+    BASELINE.md round-2/3) and are normalized on device in one fused
+    elementwise op before the stem.  Same normalize convention as the
+    host-side ``qtpu.data.native`` preprocessors.
+    """
+    import numpy as np
+
+    mean = np.broadcast_to(np.asarray(mean, np.float32), (channels,))
+    std = np.broadcast_to(np.asarray(std, np.float32), (channels,))
+    return (jnp.asarray(1.0 / (255.0 * std), jnp.float32),
+            jnp.asarray(-mean / std, jnp.float32))
+
+
 def gemm_1x1(x_q: Array, node: Dict[str, Array], *, relu: bool = False,
              act_max: Optional[float] = None, requant: Optional[Grid] = None,
              out_dtype=jnp.float32, residual: Optional[Array] = None,

@@ -21,8 +21,11 @@ import jax
 import jax.numpy as jnp
 
 from qtpu.bench.profile import annotate
+from qtpu.nn.layers import BN_EPS
 from qtpu.ops import qops
-from qtpu.serve.fused_ops import (Grid, conv_xla, gemm_1x1, grid_of,
+from qtpu.serve.fused_ops import (Grid, conv_xla, fc_fp32_params,
+                                  fold_bn_fp32, gemm_1x1, grid_of,
+                                  grid_parts, u8_normalize_coeffs,
                                   unpacked_kernel)
 
 Array = jax.Array
@@ -37,7 +40,8 @@ class MobileNetV2Int8Engine:
 
     def __init__(self, variables: Dict[str, Any], num_classes: int,
                  use_pallas: bool = False, dw_shifted: bool = False,
-                 torch_pad: bool = False):
+                 torch_pad: bool = False, stem_dtype=jnp.float32,
+                 normalize=None):
         # torch_pad: torchvision geometry (qtpu/data/import_torch.py) —
         # explicit (1,1) pads on the strided 3x3 stem/depthwise convs where
         # XLA SAME pads (0,1); stride-1 convs are identical either way.
@@ -59,18 +63,37 @@ class MobileNetV2Int8Engine:
         # physical relayouts (measured 12.4k vs 16.9k img/s at B=64); the XLA
         # NHWC path fuses the same epilogues without them.
         self.qw = variables["qweights"]
+        # fp32 params/batch-stats: only consulted for EXCLUDED stem/fc — the
+        # reference's canonical first/last exclusion (SURVEY.md §1.2 R2) now
+        # runs fp32 inside the flat engine exactly like ResNetInt8Engine
+        # (round 4 measured the fp32 stem both faster and more accurate on
+        # ResNet; VERDICT r4 #4 extends the idiom to the MobileNet families).
+        self.params = variables.get("params", {})
+        self.batch_stats = variables.get("batch_stats", {})
         self.num_classes = num_classes
         self.use_pallas = use_pallas
+        self.stem_dtype = stem_dtype
         # Experiment-kernel dispatch table: EMPTY on the product engine, so
         # the qivr guard in _forward never fires.  Populated (and _qivr
         # provided) only by serve.experimental's subclass — the chained
         # inverted-residual kernel's measured-loser receipt lives there.
         self._qivr_prep: Dict[int, Dict[str, Any]] = {}
+        self._stem_fp32 = (fold_bn_fp32(self.params, self.batch_stats,
+                                        "stem", BN_EPS)
+                           if self._node("stem") is None else None)
+        self._fc_fp32 = (fc_fp32_params(self.params)
+                         if self._node("fc") is None else None)
         self.forward = jax.jit(self._forward)
         # int8 ingest: images pre-quantized on the host onto the stem's grid
         # (qtpu.data.native.preprocess_quantize) — 4x less transfer.
         self.forward_codes = jax.jit(
             lambda xq: self._forward(xq, pre_quantized=True))
+        # raw-uint8 ingest: see ResNetInt8Engine — the wire form that
+        # composes with an excluded fp32 stem (on-device normalize).
+        self._u8_norm = u8_normalize_coeffs(*(normalize or ((0.0,), (1.0,))),
+                                            3)
+        self.forward_u8 = jax.jit(
+            lambda x8: self._forward(x8, raw_u8=True))
 
     def stem_grid(self):
         """The (scale, zp) grid host-side ingest must quantize onto."""
@@ -101,24 +124,48 @@ class MobileNetV2Int8Engine:
         node = self._node(name, "expand") or self._node(name, "dw")
         return grid_of(node)
 
-    def _forward(self, x: Array, pre_quantized: bool = False) -> Array:
+    def _forward(self, x: Array, pre_quantized: bool = False,
+                 raw_u8: bool = False) -> Array:
         blocks = self._blocks()
         stem = self._node("stem")
         head = self._node("head")
         fc = self._node("fc")
-        if stem is None or head is None or fc is None:
+        if head is None:
             raise NotImplementedError(
-                "excluded layers: use the module SERVE path")
+                "excluded head: use the module SERVE path")
+        if raw_u8:
+            a, b = self._u8_norm
+            x = x.astype(jnp.float32) * a + b
 
         with annotate("stem"):
-            if pre_quantized:            # int8 codes already on stem grid
-                x_q = x
-            else:
-                x_q = qops.quantize_act(x, stem["act_scale"], stem["act_zp"],
-                                        symmetric=grid_of(stem)[2])
             first = self._block_in_grid(blocks[0][0])
-            x_q = conv_xla(x_q, stem, strides=(2, 2), relu=True, act_max=6.0,
-                           requant=first, padding=self._pad3)
+            if stem is None:
+                # Excluded stem: fp32 conv (BN folded at build), relu6,
+                # quantize onto the first block's grid (ResNetInt8Engine's
+                # fp32-stem path, MobileNet form).
+                if pre_quantized:
+                    raise ValueError("int8 ingest is unavailable with an "
+                                     "excluded fp32 stem")
+                w, b = self._stem_fp32
+                y = jax.lax.conv_general_dilated(
+                    jnp.asarray(x, self.stem_dtype),
+                    jnp.asarray(w, self.stem_dtype), window_strides=(2, 2),
+                    padding=self._pad3,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32) + b
+                y = jnp.clip(y, 0.0, 6.0)
+                fs, fz, fsym = grid_parts(first)
+                x_q = qops.quantize_act(y, fs, fz, symmetric=fsym)
+            else:
+                if pre_quantized:        # int8 codes already on stem grid
+                    x_q = x
+                else:
+                    x_q = qops.quantize_act(x, stem["act_scale"],
+                                            stem["act_zp"],
+                                            symmetric=grid_of(stem)[2])
+                x_q = conv_xla(x_q, stem, strides=(2, 2), relu=True,
+                               act_max=6.0, requant=first,
+                               padding=self._pad3)
         grid = first
 
         i = 0
@@ -170,6 +217,9 @@ class MobileNetV2Int8Engine:
             x_q = gemm_1x1(x_q, head, relu=True, act_max=6.0, requant=None,
                            out_dtype=jnp.float32, use_pallas=self.use_pallas)
             pooled = jnp.mean(x_q, axis=(1, 2))
+            if fc is None:               # excluded fp32 fc: plain matmul
+                w, b = self._fc_fp32
+                return pooled @ w + b
             x_fc = qops.quantize_act(pooled, fc["act_scale"], fc["act_zp"],
                                      symmetric=grid_of(fc)[2])
             acc = qops.qmatmul(x_fc, unpacked_kernel(fc))

@@ -22,9 +22,11 @@ import jax
 import jax.numpy as jnp
 
 from qtpu.bench.profile import annotate
+from qtpu.nn.layers import BN_EPS
 from qtpu.ops import qops
-from qtpu.serve.fused_ops import (conv_xla, gemm_1x1, grid_of,
-                                  unpacked_kernel)
+from qtpu.serve.fused_ops import (conv_xla, fc_fp32_params, fold_bn_fp32,
+                                  gemm_1x1, grid_of, grid_parts,
+                                  u8_normalize_coeffs, unpacked_kernel)
 
 Array = jax.Array
 
@@ -37,7 +39,8 @@ class MobileNetV1Int8Engine:
 
     def __init__(self, variables: Dict[str, Any], num_classes: int,
                  use_pallas: bool = False, dw_shifted="s2",
-                 torch_pad: bool = False):
+                 torch_pad: bool = False, stem_dtype=jnp.float32,
+                 normalize=None):
         # torch_pad: torchvision geometry — explicit (1,1) pads on the
         # strided 3x3 stem/depthwise convs (see MobileNetV2Int8Engine).
         self.torch_pad = bool(torch_pad)
@@ -54,14 +57,31 @@ class MobileNetV1Int8Engine:
         # conv's strided windows; all modes are bit-exact (asserted in the
         # A/B and in tests).
         self.qw = variables["qweights"]
+        # fp32 params/batch-stats: only consulted for EXCLUDED stem/fc (the
+        # reference-canonical first/last exclusion runs fp32 in-engine like
+        # ResNetInt8Engine — VERDICT r4 #4).
+        self.params = variables.get("params", {})
+        self.batch_stats = variables.get("batch_stats", {})
         self.num_classes = num_classes
         self.use_pallas = use_pallas
         self.dw_shifted = dw_shifted
+        self.stem_dtype = stem_dtype
+        self._stem_fp32 = (fold_bn_fp32(self.params, self.batch_stats,
+                                        "stem", BN_EPS)
+                           if self._node("stem") is None else None)
+        self._fc_fp32 = (fc_fp32_params(self.params)
+                         if self._node("fc") is None else None)
         self.forward = jax.jit(self._forward)
         # int8 ingest: images pre-quantized on the host onto the stem's grid
         # (qtpu.data.native.preprocess_quantize) — 4x less transfer.
         self.forward_codes = jax.jit(
             lambda xq: self._forward(xq, pre_quantized=True))
+        # raw-uint8 ingest: see ResNetInt8Engine — the wire form that
+        # composes with an excluded fp32 stem (on-device normalize).
+        self._u8_norm = u8_normalize_coeffs(*(normalize or ((0.0,), (1.0,))),
+                                            3)
+        self.forward_u8 = jax.jit(
+            lambda x8: self._forward(x8, raw_u8=True))
 
     def stem_grid(self):
         """The (scale, zp) grid host-side ingest must quantize onto."""
@@ -79,30 +99,50 @@ class MobileNetV1Int8Engine:
             node = node[p]
         return node
 
-    def _forward(self, x: Array, pre_quantized: bool = False) -> Array:
+    def _forward(self, x: Array, pre_quantized: bool = False,
+                 raw_u8: bool = False) -> Array:
         stem = self._node("stem")
         fc = self._node("fc")
-        if stem is None or fc is None:
-            raise NotImplementedError(
-                "excluded layers: use the module SERVE path")
         n_blocks = len(V1_STRIDES)
+        if raw_u8:
+            a, b = self._u8_norm
+            x = x.astype(jnp.float32) * a + b
 
         with annotate("stem"):
-            if pre_quantized:            # int8 codes already on stem grid
-                x_q = x
-            else:
-                x_q = qops.quantize_act(x, stem["act_scale"], stem["act_zp"],
-                                        symmetric=grid_of(stem)[2])
             first = grid_of(self._node("block0", "dw"))
-            x_q = conv_xla(x_q, stem, strides=(2, 2), relu=True,
-                           requant=first, padding=self._pad3)
+            if stem is None:
+                # Excluded stem: fp32 conv (BN folded at build), relu,
+                # quantize onto block0's dw grid (the ResNetInt8Engine
+                # fp32-stem path, v1 form — plain relu, not relu6).
+                if pre_quantized:
+                    raise ValueError("int8 ingest is unavailable with an "
+                                     "excluded fp32 stem")
+                w, b = self._stem_fp32
+                y = jax.lax.conv_general_dilated(
+                    jnp.asarray(x, self.stem_dtype),
+                    jnp.asarray(w, self.stem_dtype), window_strides=(2, 2),
+                    padding=self._pad3,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32) + b
+                y = jnp.maximum(y, 0.0)
+                fs, fz, fsym = grid_parts(first)
+                x_q = qops.quantize_act(y, fs, fz, symmetric=fsym)
+            else:
+                if pre_quantized:        # int8 codes already on stem grid
+                    x_q = x
+                else:
+                    x_q = qops.quantize_act(x, stem["act_scale"],
+                                            stem["act_zp"],
+                                            symmetric=grid_of(stem)[2])
+                x_q = conv_xla(x_q, stem, strides=(2, 2), relu=True,
+                               requant=first, padding=self._pad3)
 
         for i, s in enumerate(V1_STRIDES):
             dw = self._node(f"block{i}", "dw")
             pw = self._node(f"block{i}", "pw")
             if dw is None or pw is None:
                 raise NotImplementedError(
-                    "excluded layers: use the module SERVE path")
+                    "excluded block layers: use the module SERVE path")
             # the NEXT consumer's grid: next block's dw, or fp32 out for the
             # final block (mean-pool consumes fp32, then fc re-quantizes)
             nxt = (grid_of(self._node(f"block{i + 1}", "dw"))
@@ -121,6 +161,9 @@ class MobileNetV1Int8Engine:
 
         with annotate("head"):
             pooled = jnp.mean(x_q, axis=(1, 2))
+            if fc is None:               # excluded fp32 fc: plain matmul
+                w, b = self._fc_fp32
+                return pooled @ w + b
             x_fc = qops.quantize_act(pooled, fc["act_scale"], fc["act_zp"],
                                      symmetric=grid_of(fc)[2])
             acc = qops.qmatmul(x_fc, unpacked_kernel(fc))

@@ -38,9 +38,12 @@ from qtpu.ops import qops
 from qtpu.serve.fused_ops import (Grid,
                                   conv_xla as _fused_conv,
                                   dequant as _fused_dequant,
+                                  fc_fp32_params as _fc_fp32_params,
+                                  fold_bn_fp32 as _fold_bn_fp32,
                                   gemm_1x1 as _fused_gemm,
                                   grid_of as _grid_of,
                                   grid_parts as _grid_parts,
+                                  u8_normalize_coeffs as _u8_coeffs,
                                   unpacked_kernel as _unpacked_kernel)
 
 Array = jax.Array
@@ -63,7 +66,8 @@ class ResNetInt8Engine:
 
     def __init__(self, variables: Dict[str, Any], arch: Dict[str, Any],
                  use_pallas: bool = False, min_ci_pallas: int = 64,
-                 packed_int4: bool = False, stem_dtype=jnp.float32):
+                 packed_int4: bool = False, stem_dtype=jnp.float32,
+                 normalize=None):
         self.qw = variables["qweights"]
         # fp32 params/batch-stats: only consulted for *excluded* layers
         # (config 5 excludes stem*/fc — SURVEY.md §1.2 canonical first/last
@@ -99,27 +103,33 @@ class ResNetInt8Engine:
         # Excluded stem/fc run in fp32 inside the flat engine (BN folded with
         # running stats — same fold freeze applies to quantized ConvBNs).
         # stem_dtype=jnp.bfloat16 runs the excluded stem's conv in bf16
-        # (input+weights cast, f32 accumulate): halves the stem's dominant
-        # input bytes (77 MB f32 @ B=128/224²) with rounding noise far below
-        # the int8 quantization step that immediately follows.  Chosen by
-        # same-process A/B (scripts/chip_stem_dtype_ab.py).
+        # (input+weights cast, f32 accumulate).  Measured: a WASH — 8.283 vs
+        # 8.285 ms median @ B=128, per-trial winners flip, logits
+        # bit-identical (scripts/chip_stem_dtype_ab.py, 5 interleaved
+        # trials; receipt bench_receipts/stem_dtype_ab_r5.jsonl).  The cast
+        # happens on device AFTER the f32 input's HBM read, so the stem's
+        # dominant traffic is unchanged — default stays fp32 (simpler).
         self.stem_dtype = stem_dtype
-        self._stem_fp32 = (self._fold_fp32("stem")
+        self._stem_fp32 = (_fold_bn_fp32(self.params, self.batch_stats,
+                                         "stem", BN_EPS)
                            if self._node("stem") is None else None)
-        self._fc_fp32 = None
-        if self._node("fc") is None:
-            p = self.params.get("fc")
-            if p is None or "kernel" not in p:
-                raise ValueError("fc neither quantized nor present in params")
-            self._fc_fp32 = (jnp.asarray(p["kernel"], jnp.float32),
-                             jnp.asarray(p.get("bias",
-                                               jnp.zeros(p["kernel"].shape[-1])),
-                                         jnp.float32))
+        self._fc_fp32 = (_fc_fp32_params(self.params)
+                         if self._node("fc") is None else None)
         self.forward = jax.jit(self._forward)
         # int8 ingest: images pre-quantized on the host onto the stem's grid
         # (qtpu.data.native.preprocess_quantize) — 4x less transfer.
         self.forward_codes = jax.jit(
             lambda xq: self._forward(xq, pre_quantized=True))
+        # raw-uint8 ingest: 0-255 pixels cross the wire (same 4x transfer
+        # win), normalized on device in one fused elementwise op before the
+        # stem — the form that composes with an EXCLUDED fp32 stem, where
+        # there is no int8 ingest grid to quantize onto (VERDICT r4 #2).
+        # ``normalize=(mean, std)``: the (x/255 - mean)/std convention shared
+        # with qtpu.data.native's host-side preprocessors.
+        in_ch = 3
+        self._u8_norm = _u8_coeffs(*(normalize or ((0.0,), (1.0,))), in_ch)
+        self.forward_u8 = jax.jit(
+            lambda x8: self._forward(x8, raw_u8=True))
 
     def stem_grid(self) -> Grid:
         """The (scale, zp) grid host-side ingest must quantize onto."""
@@ -128,24 +138,6 @@ class ResNetInt8Engine:
             raise ValueError("excluded (fp32) stem has no ingest grid — "
                              "feed fp32 images via forward()")
         return _grid_of(node)
-
-    def _fold_fp32(self, name: str):
-        """Eval-time BN fold of an excluded ConvBN's fp32 params."""
-        p = self.params.get(name)
-        if p is None or "kernel" not in p:
-            raise ValueError(f"layer {name} neither quantized nor in params")
-        w = jnp.asarray(p["kernel"], jnp.float32)
-        bn = (self.batch_stats or {}).get(name)
-        if bn is not None and "mean" in bn:
-            gamma = jnp.asarray(p["scale"], jnp.float32)
-            sigma = jnp.sqrt(jnp.asarray(bn["var"], jnp.float32) + BN_EPS)
-            b = (jnp.asarray(p["bias"], jnp.float32)
-                 - gamma * jnp.asarray(bn["mean"], jnp.float32) / sigma)
-            w = w * (gamma / sigma)
-        else:
-            b = jnp.asarray(p.get("bias", jnp.zeros((w.shape[-1],))),
-                            jnp.float32)
-        return w, b
 
     # -- frozen-node helpers ---------------------------------------------
 
@@ -291,11 +283,18 @@ class ResNetInt8Engine:
         ns, nz, nsym = _grid_parts(next_grid)
         return qops.quantize_act(y, ns, nz, symmetric=nsym)
 
-    def _forward(self, x: Array, pre_quantized: bool = False) -> Array:
+    def _forward(self, x: Array, pre_quantized: bool = False,
+                 raw_u8: bool = False) -> Array:
         bottleneck = self.arch.get("bottleneck", True)
         names = self._block_names()
         first = self._node(names[0][0], "conv1")
         fc = self._node("fc")
+        if raw_u8:
+            # on-device normalize of raw uint8 wire pixels (one fused
+            # elementwise op; constructor note) — then the normal f32 path,
+            # so it composes with quantized AND excluded (fp32) stems.
+            a, b = self._u8_norm
+            x = x.astype(jnp.float32) * a + b
         with annotate("stem"):
             x_q = self._stem(x, _grid_of(first), pre_quantized=pre_quantized)
         grid = _grid_of(first)

@@ -21,6 +21,7 @@ enable_persistent_cache()
 import jax
 import numpy as np
 
+from qtpu.bench.receipts import log_receipt
 from qtpu.bench.timing import time_scan_fit
 from qtpu.models import get_model
 from qtpu.nn import QuantPolicy
@@ -71,6 +72,9 @@ def main() -> int:
             times[key].append(dt)
             print(f"  t{t} {key[0]:13s} dw={key[1]:5s}: {dt*1e3:7.3f} ms "
                   f"({B/dt:8.0f} img/s)", flush=True)
+            log_receipt("dw_shifted_ab_r5", dict(trial=t, family=key[0],
+                                                 dw=key[1], ms=dt * 1e3,
+                                                 img_s=B / dt, B=B))
 
     print(f"\n=== medians (B={B}, {trials} interleaved trials) ===",
           flush=True)
@@ -81,6 +85,10 @@ def main() -> int:
             print(f"{fam:13s} dw={mode:5s}: {med*1e3:7.3f} ms "
                   f"({B/med:8.0f} img/s)  vs grouped {base/med:5.3f}x",
                   flush=True)
+            log_receipt("dw_shifted_ab_r5", dict(family=fam, dw=mode,
+                                                 median_ms=med * 1e3,
+                                                 median_img_s=B / med,
+                                                 vs_grouped=base / med, B=B))
     return 0
 
 

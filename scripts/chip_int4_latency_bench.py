@@ -32,6 +32,7 @@ enable_persistent_cache()
 
 import jax
 
+from qtpu.bench.receipts import log_receipt
 from qtpu.bench.timing import time_scan_fit
 from qtpu.models import get_model
 from qtpu.nn import QuantPolicy
@@ -90,6 +91,9 @@ def main() -> int:
                 rows[name].setdefault(B, []).append(t)
                 print(f"  trial{trial} {name:20s} B={B:3d}: "
                       f"{t*1e3:7.3f} ms/step ({B/t:8.0f} img/s)", flush=True)
+                log_receipt("int4_latency_r5", dict(trial=trial, variant=name,
+                                                    B=B, ms=t * 1e3,
+                                                    img_s=B / t))
 
     print("\n| B | " + " | ".join(n for n, _ in variants) +
           " | int4w vs int8 |", flush=True)
@@ -103,6 +107,12 @@ def main() -> int:
                     if n.startswith("int4"))
         print(f"| {B} | " + " | ".join(cells) +
               f" | {t8/best4:.2f}x |", flush=True)
+        for name, _ in variants:
+            t = min(rows[name][B])
+            log_receipt("int4_latency_r5", dict(variant=name, B=B,
+                                                best_ms=t * 1e3,
+                                                best_img_s=B / t,
+                                                vs_int8=t8 / t))
     return 0
 
 

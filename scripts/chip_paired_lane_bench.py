@@ -80,6 +80,8 @@ def bench(label, M, w, useful_flops, n_gemms=1, bm=512, bk=None, bn=None):
     tops = useful_flops / t / 1e12
     print(f"{label:42s} {t*1e6:9.1f} us  useful {tops:6.1f} TOPS "
           f"({100*tops*1e12/V5E_INT8_OPS:5.1f}% of peak)", flush=True)
+    log_receipt("paired_lane_r5", dict(label=label, us=t * 1e6,
+                                       useful_tops=tops))
     return t
 
 

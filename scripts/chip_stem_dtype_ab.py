@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qtpu.bench.receipts import log_receipt
 from qtpu.bench.timing import time_scan_fit
 from qtpu.models import get_model
 from qtpu.nn import QuantPolicy
@@ -57,6 +58,10 @@ def main() -> int:
     rel = float(np.linalg.norm(ya - yb) / np.linalg.norm(ya))
     print(f"argmax agreement f32 vs bf16 stem: {agree:.4f}  rel={rel:.2e}",
           flush=True)
+    receipt = "stem_dtype_ab_r5"
+    log_receipt(receipt, dict(script="chip_stem_dtype_ab.py", B=B,
+                              trials=trials, argmax_agreement=agree,
+                              rel_diff=rel))
 
     times = {k: [] for k in engines}
     for t in range(trials):
@@ -68,6 +73,8 @@ def main() -> int:
             times[name].append(dt)
             print(f"  t{t} {name:10s}: {dt*1e3:7.3f} ms ({B/dt:8.0f} img/s)",
                   flush=True)
+            log_receipt(receipt, dict(trial=t, variant=name, ms=dt * 1e3,
+                                      img_s=B / dt))
 
     print(f"\n=== medians (B={B}, {trials} interleaved trials) ===",
           flush=True)
@@ -76,6 +83,9 @@ def main() -> int:
         med = statistics.median(times[name])
         print(f"{name:10s}: {med*1e3:7.3f} ms ({B/med:8.0f} img/s)  "
               f"vs f32 {base/med:5.3f}x", flush=True)
+        log_receipt(receipt, dict(variant=name, median_ms=med * 1e3,
+                                  median_img_s=B / med,
+                                  vs_f32=base / med))
     return 0
 
 

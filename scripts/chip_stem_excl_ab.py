@@ -28,6 +28,7 @@ enable_persistent_cache()
 import jax
 import numpy as np
 
+from qtpu.bench.receipts import log_receipt
 from qtpu.bench.timing import time_scan_fit
 from qtpu.models import get_model
 from qtpu.nn import QuantPolicy
@@ -80,6 +81,9 @@ def main() -> int:
             times[name].append(dt)
             print(f"  t{t} {name:12s}: {dt*1e3:7.3f} ms ({B/dt:8.0f} img/s)",
                   flush=True)
+            log_receipt("stem_excl_ab_r5", dict(trial=t, variant=name,
+                                                ms=dt * 1e3, img_s=B / dt,
+                                                B=B))
 
     print(f"\n=== medians (B={B}, {trials} interleaved trials) ===",
           flush=True)
@@ -88,6 +92,10 @@ def main() -> int:
         med = statistics.median(times[name])
         print(f"{name:12s}: {med*1e3:7.3f} ms ({B/med:8.0f} img/s)  "
               f"vs full {base/med:5.3f}x", flush=True)
+        log_receipt("stem_excl_ab_r5", dict(variant=name,
+                                            median_ms=med * 1e3,
+                                            median_img_s=B / med,
+                                            vs_full=base / med, B=B))
     return 0
 
 

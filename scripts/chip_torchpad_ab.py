@@ -21,6 +21,7 @@ enable_persistent_cache()
 
 import jax
 
+from qtpu.bench.receipts import log_receipt
 from qtpu.bench.timing import time_scan_fit
 from qtpu.models import get_model
 from qtpu.nn import QuantPolicy
@@ -61,6 +62,9 @@ def main() -> int:
             times[name].append(dt)
             print(f"  t{t} {name:6s}: {dt*1e3:7.3f} ms ({B/dt:8.0f} img/s)",
                   flush=True)
+            log_receipt("torchpad_ab_r5", dict(trial=t, variant=name,
+                                               ms=dt * 1e3, img_s=B / dt,
+                                               B=B))
 
     print(f"\n=== medians (B={B}, {trials} interleaved trials) ===",
           flush=True)
@@ -69,6 +73,9 @@ def main() -> int:
         med = statistics.median(times[name])
         print(f"{name:6s}: {med*1e3:7.3f} ms ({B/med:8.0f} img/s)  "
               f"vs same {med_same/med:5.3f}x", flush=True)
+        log_receipt("torchpad_ab_r5", dict(variant=name, median_ms=med * 1e3,
+                                           median_img_s=B / med,
+                                           vs_same=med_same / med, B=B))
     return 0
 
 

@@ -169,3 +169,60 @@ def test_http_front_serves_predictions():
     finally:
         server.shutdown()
         eng.stop()
+
+
+@pytest.mark.parametrize("exclude", [(), ("stem*",)])
+def test_engine_raw_u8_ingest(exclude):
+    """forward_u8(raw uint8) == forward((u8/255 - mean)/std): raw 0-255
+    pixels on the wire + on-device normalize — the ingest form that
+    composes with the EXCLUDED fp32 stem (VERDICT r4 #2), and works for
+    quantized stems too."""
+    rng = np.random.default_rng(0)
+    x8 = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    mean, std = (0.5, 0.4, 0.45), (0.25, 0.3, 0.2)
+    xf = ((x8.astype(np.float32) / 255.0 - np.asarray(mean, np.float32))
+          / np.asarray(std, np.float32))
+    x = jnp.asarray(xf)
+    m = get_model("resnet50", num_classes=10, cifar_stem=True)
+    m = m.clone(stage_sizes=(1, 1, 1, 1))
+    qm = convert_model(m, QuantPolicy.int8_ptq(exclude=exclude))
+    v = dict(jax.jit(qm.init, static_argnames="train")(KEY, x, train=True))
+    v = calibrate(qm, v, [x])
+    _, sv = freeze(qm, v, x)
+    arch = dict(stage_sizes=(1, 1, 1, 1), width=64, bottleneck=True,
+                cifar_stem=True, num_classes=10)
+    eng = ResNetInt8Engine(sv, arch, normalize=(mean, std))
+    y_f32 = np.asarray(eng.forward(x))
+    y_u8 = np.asarray(eng.forward_u8(jnp.asarray(x8)))
+    assert np.argmax(y_f32, -1).tolist() == np.argmax(y_u8, -1).tolist()
+    rel = np.linalg.norm(y_f32 - y_u8) / (np.linalg.norm(y_f32) + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_engine_codes_vs_raw_u8_parity():
+    """Host-quantized int8 codes and raw-u8-with-device-normalize are the
+    same request up to quantize rounding (quantized-stem config)."""
+    from qtpu.data.native import preprocess_quantize
+
+    rng = np.random.default_rng(1)
+    x8 = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    mean = np.zeros(3, np.float32)
+    std = np.ones(3, np.float32)
+    xf = x8.astype(np.float32) / 255.0
+    x = jnp.asarray(xf)
+    m = get_model("resnet50", num_classes=10, cifar_stem=True)
+    m = m.clone(stage_sizes=(1, 1, 1, 1))
+    qm = convert_model(m, QuantPolicy.int8_ptq())
+    v = dict(jax.jit(qm.init, static_argnames="train")(KEY, x, train=True))
+    v = calibrate(qm, v, [x])
+    _, sv = freeze(qm, v, x)
+    arch = dict(stage_sizes=(1, 1, 1, 1), width=64, bottleneck=True,
+                cifar_stem=True, num_classes=10)
+    eng = ResNetInt8Engine(sv, arch, normalize=(mean, std))
+    s, zp = eng.stem_grid()[:2]
+    codes = preprocess_quantize(x8, mean, std, float(s), int(zp))
+    y_codes = np.asarray(eng.forward_codes(jnp.asarray(codes)))
+    y_u8 = np.asarray(eng.forward_u8(jnp.asarray(x8)))
+    assert np.argmax(y_codes, -1).tolist() == np.argmax(y_u8, -1).tolist()
+    rel = np.linalg.norm(y_codes - y_u8) / (np.linalg.norm(y_codes) + 1e-9)
+    assert rel < 0.05, rel

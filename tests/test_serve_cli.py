@@ -207,16 +207,42 @@ def test_uint8_ingest_rejected_for_module_path():
         build_engine(CONFIGS["lenet_mnist_int8"], uint8_ingest=True)
 
 
-def test_uint8_ingest_rejected_for_excluded_stem():
-    """The fp32-stem recommended config has no int8 ingest grid —
-    --uint8-ingest must fail fast with the reason, not crash lazily at the
-    first request (serve/cli.py fail-fast added round 4)."""
+def test_uint8_ingest_composes_with_excluded_stem():
+    """Round 5 (VERDICT r4 #2): the fp32-stem recommended config ACCEPTS
+    uint8 ingest — raw 0-255 pixels cross the wire (4x less transfer) and
+    are normalized on device before the fp32 stem (no ingest grid needed).
+    Predictions match the f32-image path."""
     from qtpu.examples.configs import CONFIGS
     from qtpu.serve.cli import build_engine
 
-    with pytest.raises(SystemExit, match="excludes"):
-        build_engine(CONFIGS["resnet50_imagenet_int8_ptq_fp32stem"],
-                     uint8_ingest=True)
+    cfg = dataclasses.replace(
+        CONFIGS["resnet50_imagenet_int8_ptq_fp32stem"],
+        image_size=32, num_classes=10, width=16, n_train=8,
+        calib_batches=1, batch_size=4)
+    x8 = np.random.default_rng(5).integers(0, 256, (4, 32, 32, 3),
+                                           dtype=np.uint8)
+    eng_u8, info_u8 = build_engine(cfg, buckets=(4,), uint8_ingest=True,
+                                   max_wait_ms=50.0)
+    assert info_u8["serve_path"] == "flat-engine+u8-ingest"
+    assert info_u8["raw_dtype"] == "uint8"
+    try:
+        y_u8 = eng_u8.predict(x8)
+    finally:
+        eng_u8.stop()
+
+    eng_f32, _ = build_engine(cfg, buckets=(4,), uint8_ingest=False,
+                              max_wait_ms=50.0)
+    try:
+        y_f32 = eng_f32.predict(x8.astype(np.float32) / 255.0)
+    finally:
+        eng_f32.stop()
+
+    # same math up to one fused normalize reassociation (codes flip only at
+    # exact round-half ties)
+    assert (y_u8.argmax(-1) == y_f32.argmax(-1)).all()
+    rel = (np.linalg.norm(y_u8 - y_f32)
+           / (np.linalg.norm(y_f32) + 1e-9))
+    assert rel < 0.05, rel
 
 
 def test_build_engine_fp32_stem_flat_path():
@@ -265,4 +291,33 @@ def test_build_engine_mobilenet_flat_path():
         y = eng.predict(x)
         assert y.shape == (2, cfg.num_classes)
     finally:
+        eng.stop()
+
+
+def test_uint8_wire_over_http_fp32_stem():
+    """Raw uint8 npy arrays POST through the HTTP front into the u8-ingest
+    engine (fp32-stem config): the full wire path of the round-5 ingest
+    composition — npy is self-describing, so no protocol change needed."""
+    from qtpu.examples.configs import CONFIGS
+    from qtpu.serve.cli import build_engine
+    from qtpu.serve.http_front import serve_http
+
+    cfg = dataclasses.replace(
+        CONFIGS["resnet50_imagenet_int8_ptq_fp32stem"],
+        image_size=32, num_classes=10, width=16, n_train=8,
+        calib_batches=1, batch_size=4)
+    eng, info = build_engine(cfg, buckets=(4,), uint8_ingest=True,
+                             max_wait_ms=50.0)
+    assert info["serve_path"] == "flat-engine+u8-ingest"
+    server, _ = serve_http(eng, host="127.0.0.1", port=0, block=False)
+    port = server.server_address[1]
+    try:
+        x8 = np.random.default_rng(7).integers(0, 256, (4, 32, 32, 3),
+                                               dtype=np.uint8)
+        logits = _post_npy(f"http://127.0.0.1:{port}/predict", x8)
+        assert logits.shape == (4, 10)
+        ref = eng.predict(x8)
+        np.testing.assert_allclose(logits, ref, atol=1e-4, rtol=1e-4)
+    finally:
+        server.shutdown()
         eng.stop()
