@@ -51,12 +51,13 @@ class MobileNetV2Int8Engine:
         # bit-exact — qops.qdepthwise_shifted) instead of the grouped-conv
         # op; targets the measured 186-409 GB/s grouped-conv ceiling with
         # the HBM-rate elementwise-fusion path.  True = all depthwise convs;
-        # "s2" = strided ones only.  Default False for v2: the round-4 e2e
-        # A/B (scripts/chip_dw_shifted_ab.py) measured s2 0.899x / all
-        # 0.831x vs grouped — v2's narrow early stride-2 shapes (96-192 ch)
-        # lose more in the shifted form's 4x-row padding than the per-shape
-        # standalone wins suggested.  (MobileNet-v1 is the opposite: its
-        # engine defaults to "s2", measured 1.062x.)
+        # "s2" = strided ones only.  Default False (grouped): the round-4
+        # e2e A/B (scripts/chip_dw_shifted_ab.py) measured v2 s2 0.899x /
+        # all 0.831x vs grouped — v2's narrow early stride-2 shapes
+        # (96-192 ch) lose more in the shifted form's 4x-row padding than
+        # the per-shape standalone wins suggested.  (v1's round-4 "s2" win
+        # did not reproduce in round 5 and its default reverted to grouped
+        # too — see mobilenet_v1_engine.py.)
         self.dw_shifted = dw_shifted
         # use_pallas=False by default: MobileNet's channel counts are mostly
         # not lane-aligned, so the (M, C) reshapes around the Pallas GEMMs are

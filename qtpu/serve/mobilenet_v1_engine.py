@@ -38,7 +38,7 @@ class MobileNetV1Int8Engine:
     """Flat int8 inference over frozen MobileNet-v1 qweights."""
 
     def __init__(self, variables: Dict[str, Any], num_classes: int,
-                 use_pallas: bool = False, dw_shifted="s2",
+                 use_pallas: bool = False, dw_shifted=False,
                  torch_pad: bool = False, stem_dtype=jnp.float32,
                  normalize=None):
         # torch_pad: torchvision geometry — explicit (1,1) pads on the
@@ -49,13 +49,12 @@ class MobileNetV1Int8Engine:
         # MobileNet channel counts are mostly not lane-aligned, so the (M, C)
         # reshapes around Pallas GEMMs are physical relayouts; the XLA NHWC
         # path fuses the same folded epilogues without them.
-        # dw_shifted: see MobileNetV2Int8Engine.  Default "s2" for v1 ONLY:
-        # the round-4 e2e A/B (scripts/chip_dw_shifted_ab.py, B=128, 3
-        # interleaved trials) measured v1 s2 1.062x grouped (36.1k vs 34.0k
-        # img/s) while v2 s2 lost 0.899x — v1's stride-2 blocks are wider
-        # (64-512 ch) where the shifted form's VPU FMAs beat the grouped
-        # conv's strided windows; all modes are bit-exact (asserted in the
-        # A/B and in tests).
+        # dw_shifted: see MobileNetV2Int8Engine.  Default grouped (False)
+        # for v1 as of round 5: round 4's +6.2% for "s2" did NOT reproduce
+        # (r5 re-run 0.980x; 7-trial adjudication a wash — 1.002x median,
+        # per-trial wins 4:3 — scripts/chip_dw_v1_adjudicate.py, receipt
+        # bench_receipts/dw_v1_adjudicate_r5.jsonl), so the simpler mode
+        # that matches v2 stands; "s2"/True remain bit-exact opt-ins.
         self.qw = variables["qweights"]
         # fp32 params/batch-stats: only consulted for EXCLUDED stem/fc (the
         # reference-canonical first/last exclusion runs fp32 in-engine like

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qtpu.bench.receipts import log_receipt
 from qtpu.bench.timing import V5E_INT8_OPS, time_scan_fit
 from qtpu.ops.pallas.qmatmul import qmatmul_fused
 
