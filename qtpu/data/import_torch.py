@@ -34,7 +34,7 @@ shape-matching tensor, and every checkpoint tensor (except
 ``num_batches_tracked`` bookkeeping) must be consumed — naming or
 architecture drift fails loudly instead of silently zero-filling.
 
-Coverage is resnet18/resnet50/mobilenet_v2 — the three served families with
+Coverage is resnet18/34/50/101 + mobilenet_v2 — the served families with
 a canonical torchvision naming convention.  **mobilenet_v1 is a conscious
 omission**: torchvision ships no MobileNet-v1, so there is no canonical
 ``state_dict`` naming to map from; third-party v1 checkpoints disagree on
@@ -226,7 +226,9 @@ def import_mobilenet_v2_state(state_dict: Mapping[str, Any], variables):
 
 _IMPORTERS = {
     "resnet18": import_resnet_state,
+    "resnet34": import_resnet_state,
     "resnet50": import_resnet_state,
+    "resnet101": import_resnet_state,
     "mobilenet_v2": import_mobilenet_v2_state,
 }
 

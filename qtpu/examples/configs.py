@@ -115,6 +115,17 @@ CONFIGS = {
         dataset="imagenet", num_classes=1000, image_size=224, method="ptq",
         per_channel=True, act_observer="minmax", fold_bn=True, batch_size=16,
         n_train=2048, n_eval=512, fp32_epochs=2, exclude=("stem*",)),
+    # Beyond BASELINE.json: deeper ResNet family members from the
+    # reference's model-zoo target set (SURVEY §1.2 R6 — gluoncv carries
+    # resnet34/101); both serve on the flat int8 engine and import
+    # torchvision checkpoints (qtpu/data/import_torch.py is
+    # structure-derived, so the deeper stage_sizes import unchanged).
+    "resnet101_imagenet_int8_ptq_fp32stem": ExperimentConfig(
+        name="resnet101_imagenet_int8_ptq_fp32stem", model="resnet101",
+        dataset="imagenet", num_classes=1000, image_size=224, method="ptq",
+        per_channel=True, act_observer="minmax", fold_bn=True, batch_size=16,
+        n_train=2048, n_eval=512, fp32_epochs=2, serve=True,
+        exclude=("stem*",)),
     # BASELINE.json:11 — config 5
     "resnet50_int4w_int8a_qat": ExperimentConfig(
         name="resnet50_int4w_int8a_qat", model="resnet50",

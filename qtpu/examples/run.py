@@ -31,7 +31,7 @@ from qtpu.utils.cache import enable_persistent_cache
 
 def build_model(cfg: ExperimentConfig, quant=None, torch_pad: bool = False):
     kwargs = dict(num_classes=cfg.num_classes, quant=quant)
-    if cfg.model in ("resnet18", "resnet50"):
+    if cfg.model.startswith("resnet"):
         kwargs["cifar_stem"] = cfg.cifar_stem
         if cfg.width is not None:
             kwargs["width"] = cfg.width

@@ -1,12 +1,14 @@
 """Model zoo (Flax, NHWC) — the offline rebuild of the reference's gluoncv usage."""
 from qtpu.models.lenet import LeNet5
 from qtpu.models.mobilenet import MobileNetV1, MobileNetV2
-from qtpu.models.resnet import ResNet, ResNet18, ResNet50
+from qtpu.models.resnet import ResNet, ResNet18, ResNet34, ResNet50, ResNet101
 
 _REGISTRY = {
     "lenet5": LeNet5,
     "resnet18": ResNet18,
+    "resnet34": ResNet34,
     "resnet50": ResNet50,
+    "resnet101": ResNet101,
     "mobilenet_v1": MobileNetV1,
     "mobilenet_v2": MobileNetV2,
 }
@@ -22,4 +24,4 @@ def get_model(name: str, **kwargs):
 
 
 __all__ = ["LeNet5", "MobileNetV1", "MobileNetV2", "ResNet", "ResNet18",
-           "ResNet50", "get_model"]
+           "ResNet34", "ResNet50", "ResNet101", "get_model"]

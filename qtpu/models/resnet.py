@@ -121,9 +121,27 @@ def ResNet18(num_classes: int = 10, cifar_stem: bool = True,
                   torch_pad=torch_pad)
 
 
+def ResNet34(num_classes: int = 1000, cifar_stem: bool = False,
+             quant: Optional[QuantPolicy] = None, width: int = 64,
+             torch_pad: bool = False) -> ResNet:
+    """BasicBlock (3, 4, 6, 3) — the gluoncv/torchvision resnet34."""
+    return ResNet(block=BasicBlock, stage_sizes=(3, 4, 6, 3), width=width,
+                  num_classes=num_classes, cifar_stem=cifar_stem, quant=quant,
+                  torch_pad=torch_pad)
+
+
 def ResNet50(num_classes: int = 1000, cifar_stem: bool = False,
              quant: Optional[QuantPolicy] = None, width: int = 64,
              torch_pad: bool = False) -> ResNet:
     return ResNet(block=Bottleneck, stage_sizes=(3, 4, 6, 3), width=width,
+                  num_classes=num_classes, cifar_stem=cifar_stem, quant=quant,
+                  torch_pad=torch_pad)
+
+
+def ResNet101(num_classes: int = 1000, cifar_stem: bool = False,
+              quant: Optional[QuantPolicy] = None, width: int = 64,
+              torch_pad: bool = False) -> ResNet:
+    """Bottleneck (3, 4, 23, 3) — the gluoncv/torchvision resnet101."""
+    return ResNet(block=Bottleneck, stage_sizes=(3, 4, 23, 3), width=width,
                   num_classes=num_classes, cifar_stem=cifar_stem, quant=quant,
                   torch_pad=torch_pad)

@@ -27,7 +27,9 @@ import numpy as np
 
 # stage_sizes per ResNet model name (models/resnet.py); MobileNet block
 # counts are fixed by their cfg tables (models/mobilenet.py).
-_RESNET_STAGES = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3)}
+_RESNET_STAGES = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3),
+                  "resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+_RESNET_BOTTLENECK = frozenset({"resnet50", "resnet101"})
 _MNV2_BLOCKS = 17          # sum of repeats in mobilenet_engine.V2_CFG
 _MNV1_BLOCKS = 13          # len(mobilenet_v1_engine.V1_STRIDES)
 
@@ -40,8 +42,8 @@ def quantized_layer_paths(model: str) -> Tuple[str, ...]:
     them ("/"-joined flax module paths — qtpu/nn/layers.py `_resolve`)."""
     if model in _RESNET_STAGES:
         paths = ["stem", "fc"]
-        convs = ("conv1", "conv2", "conv3") if model == "resnet50" \
-            else ("conv1", "conv2")
+        convs = (("conv1", "conv2", "conv3")
+                 if model in _RESNET_BOTTLENECK else ("conv1", "conv2"))
         for i, n in enumerate(_RESNET_STAGES[model]):
             for j in range(n):
                 blk = f"layer{i + 1}_{j}"
@@ -85,7 +87,7 @@ def resnet_arch(model: str, *, num_classes: int, image_size: int,
                 torch_pad: bool = False) -> dict:
     """ResNetInt8Engine arch dict from config fields (one definition)."""
     return dict(stage_sizes=_RESNET_STAGES[model],
-                width=width or 64, bottleneck=model == "resnet50",
+                width=width or 64, bottleneck=model in _RESNET_BOTTLENECK,
                 cifar_stem=image_size <= 64, num_classes=num_classes,
                 torch_pad=torch_pad)
 

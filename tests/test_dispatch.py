@@ -79,3 +79,16 @@ def test_make_flat_forward_routing():
     ff, pp, dt, path = make_flat_forward("mobilenet_v2", exclude=("stem",))
     assert ff is not None and pp is None and dt == np.float32
     assert path == "flat-engine"
+
+
+def test_resnet34_101_layer_paths_and_eligibility():
+    """Round-5 zoo additions route through the shared dispatch."""
+    r34 = quantized_layer_paths("resnet34")
+    assert "layer3_5/conv2" in r34 and "layer1_0/conv3" not in r34
+    r101 = quantized_layer_paths("resnet101")
+    assert "layer3_22/conv3" in r101
+    for model in ("resnet34", "resnet101"):
+        ok, exc = flat_engine_eligible(model, ("stem*", "fc"))
+        assert ok and exc == {"stem", "fc"}
+        ok, _ = flat_engine_eligible(model, ("layer2*",))
+        assert not ok

@@ -226,3 +226,30 @@ def test_engine_codes_vs_raw_u8_parity():
     assert np.argmax(y_codes, -1).tolist() == np.argmax(y_u8, -1).tolist()
     rel = np.linalg.norm(y_codes - y_u8) / (np.linalg.norm(y_codes) + 1e-9)
     assert rel < 0.05, rel
+
+
+@pytest.mark.parametrize("model_name,stages,bottleneck", [
+    ("resnet34", (1, 1, 1, 1), False),
+    ("resnet101", (1, 1, 1, 1), True),
+])
+def test_engine_resnet34_101_matches_module_serve(model_name, stages,
+                                                  bottleneck):
+    """The round-5 zoo additions (gluoncv carries resnet34/101 — SURVEY
+    §1.2 R6) hold engine/module parity via the same arch-dict engine;
+    stage sizes shrunk for CPU test time (block types still exercised)."""
+    m = get_model(model_name, num_classes=10, cifar_stem=True)
+    m = m.clone(stage_sizes=stages)
+    x = jax.random.normal(KEY, (4, 32, 32, 3))
+    qm = convert_model(m, QuantPolicy.int8_ptq(exclude=("stem*",)))
+    v = dict(jax.jit(qm.init, static_argnames="train")(KEY, x, train=True))
+    v = calibrate(qm, v, [x])
+    sm, sv = freeze(qm, v, x)
+    y_module = jax.jit(sm.apply)(sv, x)
+    arch = dict(stage_sizes=stages, width=64, bottleneck=bottleneck,
+                cifar_stem=True, num_classes=10)
+    y_eng = ResNetInt8Engine(sv, arch).forward(x)
+    rel = float(jnp.linalg.norm(y_eng - y_module) /
+                jnp.linalg.norm(y_module))
+    assert rel < 0.10, rel
+    agree = float(jnp.mean(jnp.argmax(y_eng, -1) == jnp.argmax(y_module, -1)))
+    assert agree == 1.0

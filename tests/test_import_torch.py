@@ -165,6 +165,24 @@ def test_resnet50_registry_shapes():
         (1, 1, 512, 2048)
 
 
+def test_resnet34_101_registry_shapes():
+    """Round-5 zoo additions: the structure-derived importer maps the
+    deeper torchvision stage layouts with zero code changes."""
+    for name, block, stages, last in (
+            ("resnet34", TVBasicBlock, (3, 4, 6, 3),
+             ("layer4_2", "conv2", (3, 3, 512, 512))),
+            ("resnet101", TVBottleneck, (3, 4, 23, 3),
+             ("layer3_22", "conv3", (1, 1, 256, 1024)))):
+        tnet = TVResNet(block, stages, width=64, nclass=1000)
+        qm = get_model(name, num_classes=1000, torch_pad=True)
+        variables = jax.eval_shape(
+            lambda qm=qm: qm.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 64, 64, 3)), train=False))
+        out = import_torch_state(name, tnet.state_dict(), variables)
+        blk, conv, shape = last
+        assert out["params"][blk][conv]["kernel"].shape == shape, name
+
+
 # ----------------------------------------------------------- MobileNetV2 --
 
 class TVConvBNReLU(tnn.Sequential):
