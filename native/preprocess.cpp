@@ -105,6 +105,34 @@ void qtpu_preprocess_f32(const uint8_t* src, int64_t n, int64_t h, int64_t w,
   run_batch(job, n, threads, image_to_f32);
 }
 
-int qtpu_native_version() { return 1; }
+// Parallel gather-pack: n equally-sized images (arbitrary dtype, given as
+// raw pointers + bytes_per_image) copied into one contiguous batch buffer.
+// The serving scheduler's np.stack of a B=128 f32 round is ~77 MB of
+// single-threaded memcpy — comparable to the 8.3 ms device step on a
+// directly-attached host — so the pack is a real runtime component, not a
+// convenience (engine._dispatch_round uses it via qtpu.data.native).
+void qtpu_pack_batch(const void* const* srcs, int64_t n,
+                     int64_t bytes_per_image, void* dst, int threads) {
+  auto copy_one = [&](int64_t i) {
+    std::memcpy(static_cast<char*>(dst) + i * bytes_per_image, srcs[i],
+                static_cast<size_t>(bytes_per_image));
+  };
+  if (threads <= 1 || n <= 1) {
+    for (int64_t i = 0; i < n; ++i) copy_one(i);
+    return;
+  }
+  std::atomic<int64_t> next(0);
+  std::vector<std::thread> pool;
+  int t = std::min<int64_t>(threads, n);
+  for (int k = 0; k < t; ++k) {
+    pool.emplace_back([&] {
+      int64_t i;
+      while ((i = next.fetch_add(1)) < n) copy_one(i);
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+int qtpu_native_version() { return 2; }
 
 }  // extern "C"

@@ -25,6 +25,10 @@ _tried = False
 
 def _build() -> bool:
     try:
+        # remove first: g++ truncates in place, and a dlopen of the same
+        # inode would return the already-mapped (stale) library
+        if os.path.exists(_SO):
+            os.remove(_SO)
         subprocess.run(
             ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
              "-fPIC", "-o", _SO,
@@ -35,8 +39,15 @@ def _build() -> bool:
         return False
 
 
+_ABI_VERSION = 2        # must match qtpu_native_version() in preprocess.cpp
+
+
 def load_native() -> Optional[ctypes.CDLL]:
-    """The native library, building it on first call; None if unavailable."""
+    """The native library, building it on first call; None if unavailable.
+
+    A cached ``.so`` from an older source revision (missing newer symbols)
+    is detected via ``qtpu_native_version`` and rebuilt in place.
+    """
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
@@ -45,9 +56,18 @@ def load_native() -> Optional[ctypes.CDLL]:
         if not os.path.exists(_SO) and os.path.exists(_SRC):
             if not _build():
                 return None
-        try:
-            lib = ctypes.CDLL(_SO)
-        except OSError:
+        for attempt in range(2):
+            try:
+                lib = ctypes.CDLL(_SO)
+                lib.qtpu_native_version.restype = ctypes.c_int
+                if lib.qtpu_native_version() >= _ABI_VERSION:
+                    break
+            except (OSError, AttributeError):
+                pass
+            # stale or unloadable build: rebuild once from source
+            if attempt or not os.path.exists(_SRC) or not _build():
+                return None
+        else:
             return None
         lib.qtpu_preprocess_quantize.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -57,7 +77,9 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int]
-        lib.qtpu_native_version.restype = ctypes.c_int
+        lib.qtpu_pack_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -89,6 +111,54 @@ def preprocess_quantize(images_u8: np.ndarray, mean, std, scale: float,
     x = (images_u8.astype(np.float32) / 255.0 - mean) / std
     q = np.round(x / scale + (zp_signed + 128))
     return (np.clip(q, 0, 255) - 128).astype(np.int8)
+
+
+# Below this total size the per-call thread spawn costs more than the copy
+# saves (measured: u8 B=128 = 19 MB ran 0.87x vs np.stack —
+# scripts/host_pack_bench.py, bench_receipts/host_pack_r5.jsonl).
+_PACK_NATIVE_MIN_BYTES = 32 << 20
+
+
+def pack_batch(images, pad_to: Optional[int] = None,
+               threads: int = 0) -> np.ndarray:
+    """Gather equally-shaped images into one contiguous (B, ...) batch.
+
+    Replaces the serving scheduler's per-round stack-then-concatenate with
+    a SINGLE copy into the zero-padded bucket buffer.  ``pad_to``:
+    allocate that many rows, zero-filling the tail (the engine's bucket
+    padding).  Honest measurement (scripts/host_pack_bench.py, receipt
+    host_pack_r5.jsonl): on this DRAM-bandwidth-bound host (~6 GB/s
+    effective) the multithreaded native gather is only 1.04x np.stack for
+    a 77 MB f32 round and LOSES at small sizes to its own thread-spawn
+    cost — so the native path engages only above
+    ``_PACK_NATIVE_MIN_BYTES`` and the claimed win is the removed second
+    copy + tail allocation, not memcpy parallelism.
+    """
+    n = len(images)
+    if n == 0:
+        raise ValueError("pack_batch needs at least one image")
+    first = np.asarray(images[0])
+    rows = n if pad_to is None else int(pad_to)
+    if rows < n:
+        raise ValueError(f"pad_to={pad_to} < batch size {n}")
+    out = np.zeros((rows, *first.shape), first.dtype)
+    lib = (load_native() if n * first.nbytes >= _PACK_NATIVE_MIN_BYTES
+           else None)
+    if lib is not None:
+        srcs = []
+        for im in images:
+            a = np.ascontiguousarray(im, dtype=first.dtype)
+            if a.shape != first.shape:
+                raise ValueError("pack_batch images must share one shape")
+            srcs.append(a)               # keep refs alive through the call
+        ptrs = (ctypes.c_void_p * n)(
+            *[a.ctypes.data_as(ctypes.c_void_p).value for a in srcs])
+        threads = threads or min(os.cpu_count() or 1, 8)
+        lib.qtpu_pack_batch(ptrs, n, first.nbytes, _as_c(out), threads)
+        return out
+    for i, im in enumerate(images):
+        out[i] = im
+    return out
 
 
 def preprocess_f32(images_u8: np.ndarray, mean, std,

@@ -18,7 +18,7 @@ def _numpy_quantize(images, scale, zp_signed):
 def test_native_library_builds():
     lib = native.load_native()
     assert lib is not None, "g++ build of native/preprocess.cpp failed"
-    assert lib.qtpu_native_version() == 1
+    assert lib.qtpu_native_version() == native._ABI_VERSION
 
 
 def test_quantize_matches_numpy_oracle():
@@ -57,3 +57,45 @@ def test_throughput_sane():
     _numpy_quantize(imgs, 0.02, 5)
     t_numpy = time.perf_counter() - t0
     assert t_native < t_numpy, (t_native, t_numpy)
+
+
+def test_pack_batch_matches_stack(monkeypatch):
+    rng = np.random.default_rng(0)
+    # force_native=0 routes even tiny batches through the native gather
+    # (production gates it by size — thread spawn loses below ~32 MB)
+    for min_bytes in (0, 1 << 62):
+        monkeypatch.setattr(native, "_PACK_NATIVE_MIN_BYTES", min_bytes)
+        for dtype in (np.float32, np.uint8, np.int8):
+            imgs = [rng.integers(0, 200, (17, 13, 3)).astype(dtype)
+                    for _ in range(9)]
+            out = native.pack_batch(imgs)
+            np.testing.assert_array_equal(out, np.stack(imgs))
+            # padded bucket form: tail rows zero
+            out = native.pack_batch(imgs, pad_to=12)
+            assert out.shape == (12, 17, 13, 3)
+            np.testing.assert_array_equal(out[:9], np.stack(imgs))
+            assert not out[9:].any()
+
+
+def test_pack_batch_validates(monkeypatch):
+    imgs = [np.zeros((4, 4, 3), np.float32), np.zeros((4, 4, 3), np.float32)]
+    with pytest.raises(ValueError):
+        native.pack_batch(imgs, pad_to=1)
+    with pytest.raises(ValueError):
+        native.pack_batch([])
+    monkeypatch.setattr(native, "_PACK_NATIVE_MIN_BYTES", 0)
+    for path_ok in (True, False):   # mismatched shapes raise on both paths
+        with pytest.raises(ValueError):
+            native.pack_batch([np.zeros((4, 4, 3), np.float32),
+                               np.zeros((4, 5, 3), np.float32)])
+        monkeypatch.setattr(native, "_PACK_NATIVE_MIN_BYTES", 1 << 62)
+
+
+def test_pack_batch_noncontiguous_sources(monkeypatch):
+    """Sliced/transposed inputs are copied to contiguous before the native
+    gather — output must still match np.stack."""
+    monkeypatch.setattr(native, "_PACK_NATIVE_MIN_BYTES", 0)
+    base = np.arange(2 * 8 * 8 * 3, dtype=np.float32).reshape(2, 8, 8, 3)
+    imgs = [base[0, ::2], base[1, ::2]]          # non-contiguous views
+    out = native.pack_batch(imgs)
+    np.testing.assert_array_equal(out, np.stack(imgs))
