@@ -10,8 +10,12 @@ Protocol (numpy ``.npy`` bytes on the wire — self-describing dtype/shape,
 zero deps on either side):
 
 * ``POST /predict`` — body: one ``.npy`` array of images, (B, H, W, C) or a
-  single (H, W, C) image.  Response: ``.npy`` array of logits.
+  single (H, W, C) image.  Response: ``.npy`` array of logits.  uint8
+  arrays work as-is on u8-ingest engines (npy is self-describing).
 * ``GET /stats``    — engine metrics as JSON (images/sec, p50/p99, occupancy).
+* ``GET /metrics``  — the same metrics in Prometheus text exposition format
+  (``qtpu_serving_*`` gauges/counters + ``qtpu_serving_healthy``), so a
+  standard scraper can watch a fleet without a qtpu-aware exporter.
 * ``GET /healthz``  — 200 while the engine scheduler is live; 503 after a
   scheduler crash or stop (``ServingEngine.healthy``).
 
@@ -66,6 +70,22 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path == "/stats":
             self._send_json(200, {k: float(v)
                                   for k, v in self.engine.stats().items()})
+        elif self.path == "/metrics":
+            # Prometheus text exposition format, version 0.0.4: one
+            # qtpu_serving_<stat> line per engine stat + a health gauge.
+            # Counters (monotonic) vs gauges chosen per stat semantics.
+            counters = {"images", "batches"}
+            lines = []
+            for k, v in self.engine.stats().items():
+                name = f"qtpu_serving_{k}"
+                kind = "counter" if k in counters else "gauge"
+                lines.append(f"# TYPE {name} {kind}")
+                lines.append(f"{name} {float(v):g}")
+            lines.append("# TYPE qtpu_serving_healthy gauge")
+            lines.append("qtpu_serving_healthy "
+                         f"{int(bool(getattr(self.engine, 'healthy', True)))}")
+            self._send(200, ("\n".join(lines) + "\n").encode(),
+                       "text/plain; version=0.0.4")
         else:
             self._send_json(404, {"error": f"no route {self.path}"})
 

@@ -131,3 +131,26 @@ def test_client_error_still_400():
         assert ei.value.code == 400
     finally:
         server.shutdown()
+
+
+def test_metrics_prometheus_format():
+    """/metrics exposes engine stats in Prometheus text exposition format
+    with TYPE lines and a health gauge (SURVEY §5.5 observability)."""
+    eng = FakeEngine()
+    eng.stats = lambda: {"images": 42.0, "p50_ms": 1.5}
+    server, base = _serve(eng)
+    try:
+        r = urllib.request.urlopen(base + "/metrics", timeout=30)
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode()
+        assert "# TYPE qtpu_serving_images counter" in body
+        assert "qtpu_serving_images 42" in body
+        assert "# TYPE qtpu_serving_p50_ms gauge" in body
+        assert "qtpu_serving_p50_ms 1.5" in body
+        assert "qtpu_serving_healthy 1" in body
+        eng.healthy = False
+        body = urllib.request.urlopen(base + "/metrics",
+                                      timeout=30).read().decode()
+        assert "qtpu_serving_healthy 0" in body
+    finally:
+        server.shutdown()
