@@ -64,6 +64,9 @@ def main() -> int:
     # {default, 32M, 64M}, B=128/default wins again (15,424 img/s medians;
     # scripts/chip_operating_point_r5.py, receipt bench_receipts/
     # operating_point_r5.jsonl; originally chip_vmem_sweep.py round 2).
+    # Fine-grained sweep B∈{96..224} confirms 128 is a true local optimum
+    # with a residency cliff at 160 (−18%, no recovery through 224;
+    # scripts/chip_batch_fine_sweep.py, receipt batch_fine_sweep_r5.jsonl).
     # The chip drifts 20-30% run-to-run (verify SKILL), so several slope-fit
     # samples are taken and best + spread are reported (VERDICT r1 weak#1).
     batch = 128 if platform == "tpu" else 8

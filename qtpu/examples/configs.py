@@ -65,6 +65,15 @@ CONFIGS = {
         name="resnet18_cifar10_int8_kl", model="resnet18", dataset="cifar10",
         num_classes=10, image_size=32, method="ptq", per_channel=True,
         act_observer="kl", cifar_stem=True, batch_size=64, fp32_epochs=4),
+    # Beyond BASELINE.json: the reference's canonical CIFAR-10 example model
+    # is gluoncv's cifar_resnet20_v1 (SURVEY §1.2 R6 "cifar variants");
+    # same recipe as config 2 (per-channel weights, KL activations) on the
+    # true cifar architecture (3x3/1 stem, stages 16/32/64, BasicBlock
+    # 3-3-3).  resnet56 (9-9-9) is reachable via --set model=resnet56.
+    "resnet20_cifar10_int8_kl": ExperimentConfig(
+        name="resnet20_cifar10_int8_kl", model="resnet20", dataset="cifar10",
+        num_classes=10, image_size=32, method="ptq", per_channel=True,
+        act_observer="kl", cifar_stem=True, batch_size=64, fp32_epochs=4),
     # BASELINE.json:9 — config 3 (ImageNet offline -> synthetic stand-in,
     # documented; depthwise quant path exercised either way)
     "mobilenetv2_imagenet_int8_qat": ExperimentConfig(

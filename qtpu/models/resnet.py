@@ -121,6 +121,26 @@ def ResNet18(num_classes: int = 10, cifar_stem: bool = True,
                   torch_pad=torch_pad)
 
 
+def ResNet20(num_classes: int = 10, cifar_stem: bool = True,
+             quant: Optional[QuantPolicy] = None, width: int = 16,
+             torch_pad: bool = False) -> ResNet:
+    """BasicBlock (3, 3, 3) at width 16 — the gluoncv ``cifar_resnet20``
+    architecture (3x3/1 stem -> stages 16/32/64), the reference's canonical
+    CIFAR-10 example model (SURVEY.md §1.2 R6 "cifar variants")."""
+    return ResNet(block=BasicBlock, stage_sizes=(3, 3, 3), width=width,
+                  num_classes=num_classes, cifar_stem=cifar_stem, quant=quant,
+                  torch_pad=torch_pad)
+
+
+def ResNet56(num_classes: int = 10, cifar_stem: bool = True,
+             quant: Optional[QuantPolicy] = None, width: int = 16,
+             torch_pad: bool = False) -> ResNet:
+    """BasicBlock (9, 9, 9) at width 16 — gluoncv ``cifar_resnet56``."""
+    return ResNet(block=BasicBlock, stage_sizes=(9, 9, 9), width=width,
+                  num_classes=num_classes, cifar_stem=cifar_stem, quant=quant,
+                  torch_pad=torch_pad)
+
+
 def ResNet34(num_classes: int = 1000, cifar_stem: bool = False,
              quant: Optional[QuantPolicy] = None, width: int = 64,
              torch_pad: bool = False) -> ResNet:

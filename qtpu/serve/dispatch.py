@@ -27,9 +27,13 @@ import numpy as np
 
 # stage_sizes per ResNet model name (models/resnet.py); MobileNet block
 # counts are fixed by their cfg tables (models/mobilenet.py).
-_RESNET_STAGES = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3),
-                  "resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+_RESNET_STAGES = {"resnet18": (2, 2, 2, 2), "resnet20": (3, 3, 3),
+                  "resnet34": (3, 4, 6, 3), "resnet50": (3, 4, 6, 3),
+                  "resnet56": (9, 9, 9), "resnet101": (3, 4, 23, 3)}
 _RESNET_BOTTLENECK = frozenset({"resnet50", "resnet101"})
+# Factory-default base widths (models/resnet.py): the gluoncv cifar variants
+# run at width 16 (stages 16/32/64), everything else at 64.
+_RESNET_WIDTH = {"resnet20": 16, "resnet56": 16}
 _MNV2_BLOCKS = 17          # sum of repeats in mobilenet_engine.V2_CFG
 _MNV1_BLOCKS = 13          # len(mobilenet_v1_engine.V1_STRIDES)
 
@@ -87,7 +91,8 @@ def resnet_arch(model: str, *, num_classes: int, image_size: int,
                 torch_pad: bool = False) -> dict:
     """ResNetInt8Engine arch dict from config fields (one definition)."""
     return dict(stage_sizes=_RESNET_STAGES[model],
-                width=width or 64, bottleneck=model in _RESNET_BOTTLENECK,
+                width=width or _RESNET_WIDTH.get(model, 64),
+                bottleneck=model in _RESNET_BOTTLENECK,
                 cifar_stem=image_size <= 64, num_classes=num_classes,
                 torch_pad=torch_pad)
 

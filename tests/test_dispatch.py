@@ -81,6 +81,25 @@ def test_make_flat_forward_routing():
     assert path == "flat-engine"
 
 
+def test_cifar_resnet20_56_dispatch():
+    """gluoncv CIFAR variants (width 16) route through the shared dispatch
+    with the factory-default width, not the 64 of the ImageNet family."""
+    from qtpu.serve.dispatch import resnet_arch
+
+    r20 = quantized_layer_paths("resnet20")
+    assert "layer3_2/conv2" in r20 and "layer1_0/conv3" not in r20
+    r56 = quantized_layer_paths("resnet56")
+    assert "layer3_8/conv2" in r56
+    for model in ("resnet20", "resnet56"):
+        ok, exc = flat_engine_eligible(model, ("stem*", "fc"))
+        assert ok and exc == {"stem", "fc"}
+        arch = resnet_arch(model, num_classes=10, image_size=32)
+        assert arch["width"] == 16 and arch["cifar_stem"]
+        assert not arch["bottleneck"]
+    assert resnet_arch("resnet20", num_classes=10, image_size=32,
+                       width=32)["width"] == 32     # explicit override wins
+
+
 def test_resnet34_101_layer_paths_and_eligibility():
     """Round-5 zoo additions route through the shared dispatch."""
     r34 = quantized_layer_paths("resnet34")

@@ -253,3 +253,72 @@ def test_engine_resnet34_101_matches_module_serve(model_name, stages,
     assert rel < 0.10, rel
     agree = float(jnp.mean(jnp.argmax(y_eng, -1) == jnp.argmax(y_module, -1)))
     assert agree == 1.0
+
+
+@pytest.mark.parametrize("model_name,stages", [
+    ("resnet20", (3, 3, 3)),       # full architecture — small enough on CPU
+    ("resnet56", (2, 2, 2)),       # shrunk stage depth (same block/width)
+])
+def test_engine_cifar_resnet20_56_matches_module_serve(model_name, stages):
+    """The gluoncv CIFAR variants (cifar_resnet20/56 — the reference's
+    canonical CIFAR-10 example models, SURVEY §1.2 R6) hold engine/module
+    parity at their true width-16 geometry, including the width-16 stem →
+    16-channel layer1 chain with no downsample in layer1_0."""
+    m = get_model(model_name, num_classes=10)
+    m = m.clone(stage_sizes=stages)
+    x = jax.random.normal(KEY, (4, 32, 32, 3))
+    qm = convert_model(m, QuantPolicy.int8_ptq())
+    v = dict(jax.jit(qm.init, static_argnames="train")(KEY, x, train=True))
+    v = calibrate(qm, v, [x])
+    sm, sv = freeze(qm, v, x)
+    y_module = jax.jit(sm.apply)(sv, x)
+    arch = dict(stage_sizes=stages, width=16, bottleneck=False,
+                cifar_stem=True, num_classes=10)
+    y_eng = ResNetInt8Engine(sv, arch).forward(x)
+    rel = float(jnp.linalg.norm(y_eng - y_module) /
+                jnp.linalg.norm(y_module))
+    assert rel < 0.10, rel
+    agree = float(jnp.mean(jnp.argmax(y_eng, -1) == jnp.argmax(y_module, -1)))
+    assert agree == 1.0
+
+
+def test_engine_mixed_precision_overrides():
+    """Per-layer bit-width OVERRIDES (the reference's per-layer converter
+    idiom, SURVEY §2.1 conversion-driver row) flow through freeze into the
+    flat engine: int4 weights on one stage, int8 elsewhere, mixed
+    packed/unpacked nodes resolved per-node by shape (fused_ops.is_int4)."""
+    from qtpu.nn import LayerQuantSpec
+
+    m = get_model("resnet50", num_classes=10, cifar_stem=True)
+    m = m.clone(stage_sizes=(1, 1, 1, 1))
+    x = jax.random.normal(KEY, (4, 32, 32, 3))
+    pol = QuantPolicy.int8_ptq(
+        overrides=(("layer2*", LayerQuantSpec(w_bits=4, a_bits=8)),))
+    qm = convert_model(m, pol)
+    v = dict(jax.jit(qm.init, static_argnames="train")(KEY, x, train=True))
+    v = calibrate(qm, v, [x])
+    sm, sv = freeze(qm, v, x)
+    # the override actually produced packed int4 on layer2 and int8 elsewhere
+    from qtpu.serve.fused_ops import is_int4
+
+    assert is_int4(sv["qweights"]["layer2_0"]["conv1"])
+    assert not is_int4(sv["qweights"]["layer1_0"]["conv1"])
+    y_module = jax.jit(sm.apply)(sv, x)
+    arch = dict(stage_sizes=(1, 1, 1, 1), width=64, bottleneck=True,
+                cifar_stem=True, num_classes=10)
+    y_eng = ResNetInt8Engine(sv, arch).forward(x)
+    rel = float(jnp.linalg.norm(y_eng - y_module) /
+                jnp.linalg.norm(y_module))
+    assert rel < 0.10, rel
+    agree = float(jnp.mean(jnp.argmax(y_eng, -1) == jnp.argmax(y_module, -1)))
+    assert agree == 1.0
+
+
+def test_cifar_resnet_gluoncv_aliases():
+    """gluoncv spellings resolve to the same factories (reference-API
+    familiarity — the reference's CIFAR examples use these names)."""
+    a = get_model("cifar_resnet20_v1", num_classes=10)
+    b = get_model("resnet20", num_classes=10)
+    assert a.stage_sizes == b.stage_sizes == (3, 3, 3)
+    assert a.width == b.width == 16 and a.cifar_stem and b.cifar_stem
+    assert get_model("cifar_resnet56_v1").stage_sizes == (9, 9, 9)

@@ -60,6 +60,48 @@ class TestFreezeServe:
         rel = float(jnp.linalg.norm(y_srv - y_sim) / jnp.linalg.norm(y_sim))
         assert rel < 0.05
 
+    @pytest.mark.parametrize("w_bits,a_bits", [(6, 6), (5, 8), (8, 6)])
+    def test_arbitrary_bitwidths_freeze_and_serve(self, w_bits, a_bits):
+        """The reference's bit-width knob is CONFIGURABLE, not {4,8}-only
+        (SURVEY §2.1 weight fake-quant row): odd widths must flow through
+        convert -> calibrate -> freeze -> integer serve.  Non-nibble widths
+        store on the int8 carrier (no packing), grids are (2^b - 1)-point
+        symmetric for weights."""
+        pol = QuantPolicy(default=LayerQuantSpec(w_bits=w_bits, a_bits=a_bits),
+                          mode=QuantMode.QUANT)
+        qm, qv, x = _calibrated_lenet(pol)
+        y_sim = jax.jit(qm.apply)(qv, x)
+        sm, sv = freeze(qm, qv, x)
+        node = sv["qweights"]["conv1"]
+        assert node["kernel_q"].dtype == jnp.int8
+        qmax = (1 << (w_bits - 1)) - 1
+        assert float(jnp.max(jnp.abs(node["kernel_q"]))) <= qmax
+        y_srv = jax.jit(sm.apply)(sv, x)
+        rel = float(jnp.linalg.norm(y_srv - y_sim) / jnp.linalg.norm(y_sim))
+        assert rel < 0.05, f"w{w_bits}a{a_bits}: rel={rel}"
+
+    def test_bitwidth_monotone_quant_error(self):
+        """More weight bits -> sim tracks the fp32 model more closely
+        (coarse monotonicity across 2/4/8 on the same calibrated net)."""
+        m = get_model("lenet5")
+        x = jax.random.normal(KEY, (8, 28, 28, 1))
+        fp_m = get_model("lenet5")
+        fp_v = jax.jit(fp_m.init)(KEY, x)
+        errs = {}
+        for wb in (2, 4, 8):
+            pol = QuantPolicy(default=LayerQuantSpec(w_bits=wb, a_bits=8),
+                              mode=QuantMode.QUANT)
+            qm = convert_model(m, pol)
+            qv = jax.jit(qm.init)(KEY, x)
+            # share the fp32 weights so only quantization differs
+            qv = {**qv, "params": fp_v["params"]}
+            qv = calibrate(qm, qv, [x])
+            y_fp = jax.jit(fp_m.apply)(fp_v, x)
+            y_q = jax.jit(qm.apply)(qv, x)
+            errs[wb] = float(jnp.linalg.norm(y_q - y_fp)
+                             / jnp.linalg.norm(y_fp))
+        assert errs[8] < errs[4] < errs[2], errs
+
     def test_excluded_layer_stays_fp32(self):
         pol = QuantPolicy.int8_ptq(exclude=("conv1", "fc3"))
         qm, qv, x = _calibrated_lenet(pol)
