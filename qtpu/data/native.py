@@ -24,18 +24,26 @@ _tried = False
 
 
 def _build() -> bool:
+    # Compile to a temp path and atomically replace: never destroy a
+    # working (if stale) library unless the rebuild SUCCEEDED — a host
+    # without g++ must keep whatever .so it has.  os.replace also gives
+    # the new build a fresh inode, so a later dlopen cannot return an
+    # already-mapped stale image (g++ -o in place would truncate the
+    # same inode).
+    tmp = f"{_SO}.tmp.{os.getpid()}"
     try:
-        # remove first: g++ truncates in place, and a dlopen of the same
-        # inode would return the already-mapped (stale) library
-        if os.path.exists(_SO):
-            os.remove(_SO)
         subprocess.run(
             ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
-             "-fPIC", "-o", _SO,
+             "-fPIC", "-o", tmp,
              _SRC, "-lpthread"],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
     except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -119,45 +127,68 @@ def preprocess_quantize(images_u8: np.ndarray, mean, std, scale: float,
 _PACK_NATIVE_MIN_BYTES = 32 << 20
 
 
-def pack_batch(images, pad_to: Optional[int] = None,
-               threads: int = 0) -> np.ndarray:
+def pack_batch(images, pad_to: Optional[int] = None, threads: int = 0,
+               dtype=None, shape=None) -> np.ndarray:
     """Gather equally-shaped images into one contiguous (B, ...) batch.
 
     Replaces the serving scheduler's per-round stack-then-concatenate with
     a SINGLE copy into the zero-padded bucket buffer.  ``pad_to``:
     allocate that many rows, zero-filling the tail (the engine's bucket
-    padding).  Honest measurement (scripts/host_pack_bench.py, receipt
-    host_pack_r5.jsonl): on this DRAM-bandwidth-bound host (~6 GB/s
-    effective) the multithreaded native gather is only 1.04x np.stack for
-    a 77 MB f32 round and LOSES at small sizes to its own thread-spawn
-    cost — so the native path engages only above
-    ``_PACK_NATIVE_MIN_BYTES`` and the claimed win is the removed second
-    copy + tail allocation, not memcpy parallelism.
+    padding).  ``dtype``/``shape``: the expected per-image dtype and shape
+    (default: the first image's) — every image must match the shape
+    EXACTLY (``np.stack`` semantics: no silent broadcasting), and dtype
+    mismatches are cast only when numpy's "same_kind" rule allows (f64→f32
+    yes; f32→u8 raises — a float image packed into a uint8 wire batch is
+    data corruption, not a cast).  Only the padding tail is zeroed (a full
+    zeros() pass over a 77 MB buffer costs ~13 ms on this ~6 GB/s host —
+    the same order as the copy the function exists to save).
+
+    Honest measurement (scripts/host_pack_bench.py, receipt
+    host_pack_r5.jsonl): on this DRAM-bandwidth-bound host the
+    multithreaded native gather is only 1.04x np.stack for a 77 MB f32
+    round and LOSES at small sizes to its own thread-spawn cost — so the
+    native path engages only above ``_PACK_NATIVE_MIN_BYTES`` and the
+    claimed win is the removed second copy + tail allocation, not memcpy
+    parallelism.
     """
     n = len(images)
     if n == 0:
         raise ValueError("pack_batch needs at least one image")
     first = np.asarray(images[0])
+    dtype = np.dtype(dtype) if dtype is not None else first.dtype
+    shape = tuple(shape) if shape is not None else first.shape
     rows = n if pad_to is None else int(pad_to)
     if rows < n:
         raise ValueError(f"pad_to={pad_to} < batch size {n}")
-    out = np.zeros((rows, *first.shape), first.dtype)
-    lib = (load_native() if n * first.nbytes >= _PACK_NATIVE_MIN_BYTES
-           else None)
+
+    def checked(im) -> np.ndarray:
+        a = np.asarray(im)
+        if a.shape != shape:
+            raise ValueError(
+                f"pack_batch: image shape {a.shape} != batch shape {shape}")
+        if a.dtype != dtype:
+            if not np.can_cast(a.dtype, dtype, casting="same_kind"):
+                raise ValueError(
+                    f"pack_batch: refusing unsafe cast {a.dtype} -> {dtype}")
+            a = a.astype(dtype)
+        return a
+
+    out = np.empty((rows, *shape), dtype)
+    if rows > n:
+        out[n:] = 0                      # zero only the padding tail
+    lib = (load_native()
+           if n * int(np.prod(shape)) * dtype.itemsize
+           >= _PACK_NATIVE_MIN_BYTES else None)
     if lib is not None:
-        srcs = []
-        for im in images:
-            a = np.ascontiguousarray(im, dtype=first.dtype)
-            if a.shape != first.shape:
-                raise ValueError("pack_batch images must share one shape")
-            srcs.append(a)               # keep refs alive through the call
+        # keep refs alive through the call
+        srcs = [np.ascontiguousarray(checked(im)) for im in images]
         ptrs = (ctypes.c_void_p * n)(
             *[a.ctypes.data_as(ctypes.c_void_p).value for a in srcs])
         threads = threads or min(os.cpu_count() or 1, 8)
-        lib.qtpu_pack_batch(ptrs, n, first.nbytes, _as_c(out), threads)
+        lib.qtpu_pack_batch(ptrs, n, srcs[0].nbytes, _as_c(out), threads)
         return out
     for i, im in enumerate(images):
-        out[i] = im
+        out[i] = checked(im)
     return out
 
 

@@ -48,11 +48,18 @@ def quantized_layer_paths(model: str) -> Tuple[str, ...]:
         paths = ["stem", "fc"]
         convs = (("conv1", "conv2", "conv3")
                  if model in _RESNET_BOTTLENECK else ("conv1", "conv2"))
+        bottleneck = model in _RESNET_BOTTLENECK
         for i, n in enumerate(_RESNET_STAGES[model]):
             for j in range(n):
                 blk = f"layer{i + 1}_{j}"
                 paths += [f"{blk}/{c}" for c in convs]
-                if j == 0:
+                # a downsample exists where residual and output shapes
+                # differ (models/resnet.py): every stage start EXCEPT
+                # stage 1 of BasicBlock nets, whose stride is 1 and whose
+                # width equals the stem's — emitting a phantom
+                # 'layer1_0/down' there would let dispatch disagree with
+                # convert_model (the exact bug class this module closes)
+                if j == 0 and (i > 0 or bottleneck):
                     paths.append(f"{blk}/down")
         return tuple(paths)
     if model == "mobilenet_v2":

@@ -157,13 +157,32 @@ class ServingEngine:
     # ---- client API -----------------------------------------------------
 
     def submit(self, image: np.ndarray) -> Future:
-        """Enqueue one image (H, W, C); resolves to its logits."""
+        """Enqueue one image (H, W, C); resolves to its logits.
+
+        Validation happens HERE, per request, so one malformed client
+        input raises to its own caller instead of reaching the scheduler
+        — where it would fail a whole packed round (and, multi-host,
+        make hosts compile divergent programs in one lockstep round).
+        dtype coercion follows numpy "same_kind" (f64→f32 fine; a float
+        image into a uint8-ingest engine is refused, not truncated)."""
         if self._stop.is_set():
             raise RuntimeError("ServingEngine is stopped") from self._error
-        fut: Future = Future()
         image = np.asarray(image)
+        if image.dtype != self._raw_dtype:
+            if not np.can_cast(image.dtype, self._raw_dtype,
+                               casting="same_kind"):
+                raise ValueError(
+                    f"request dtype {image.dtype} does not match the "
+                    f"engine's ingest dtype {self._raw_dtype} (refusing "
+                    "unsafe cast; for uint8 ingest send 0-255 pixels)")
+            image = image.astype(self._raw_dtype)
         if self._img_shape is None:
             self._img_shape = tuple(image.shape)
+        elif tuple(image.shape) != self._img_shape:
+            raise ValueError(
+                f"request shape {tuple(image.shape)} does not match the "
+                f"engine's image shape {self._img_shape}")
+        fut: Future = Future()
         self._queue.put((image, fut, time.monotonic()))
         return fut
 
@@ -326,7 +345,17 @@ class ServingEngine:
             # wrapper / a crash can fail them (they have left the queue)
             self._inflight = list(batch) + (list(pending[0])
                                             if pending else [])
-            dispatched = self._dispatch_round(batch)
+            try:
+                dispatched = self._dispatch_round(batch)
+            except BaseException:
+                # round k+1 failed to dispatch, but round k's results are
+                # already computed on device — deliver them before letting
+                # the guarded wrapper fail the engine, so k's clients get
+                # their logits rather than k+1's unrelated error.
+                if pending is not None:
+                    self._resolve_round(*pending)
+                    self._inflight = []
+                raise
             if pending is not None:
                 self._resolve_round(*pending)
             pending = dispatched
@@ -355,7 +384,11 @@ class ServingEngine:
         n = len(batch)
         b = self._bucket_for(n)
         try:
-            imgs = pack_batch([item[0] for item in batch[:b]], pad_to=b)
+            # dtype/shape pinned to the engine's ingest contract (submit()
+            # already validated each image; this keeps pack_batch's checks
+            # anchored to the engine, not to whichever image came first)
+            imgs = pack_batch([item[0] for item in batch[:b]], pad_to=b,
+                              dtype=self._raw_dtype, shape=self._img_shape)
             t_run = time.monotonic()
             x = self._upload(imgs)
             out = self._fwd(self.vars, x)       # async dispatch — no sync
@@ -480,7 +513,11 @@ class ServingEngine:
         if local:
             from qtpu.data.native import pack_batch
 
-            imgs = pack_batch(local, pad_to=b_local)
+            # dtype/shape pinned to the engine contract: every host must
+            # upload the same dtype/shape in a lockstep round (submit()
+            # validates per request; idle hosts zero-fill below)
+            imgs = pack_batch(local, pad_to=b_local,
+                              dtype=self._raw_dtype, shape=self._img_shape)
         else:   # idle host contributing an all-padding shard this round
             imgs = np.zeros((b_local, *self._img_shape), self._raw_dtype)
         t_run = time.monotonic()

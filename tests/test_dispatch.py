@@ -17,8 +17,16 @@ def test_layer_paths_cover_known_models():
     assert "stem" in r50 and "fc" in r50
     assert "layer1_0/conv3" in r50 and "layer4_0/down" in r50
     assert "layer1_1/down" not in r50          # down only at stage starts
+    assert "layer1_0/down" in r50              # bottleneck expands channels
     r18 = quantized_layer_paths("resnet18")
     assert "layer1_0/conv2" in r18 and "layer1_0/conv3" not in r18
+    # BasicBlock nets have NO downsample in layer1_0 (stride 1, stem width
+    # == stage width) — a phantom path here would let dispatch disagree
+    # with convert_model (e.g. exclude=('layer1_0/down',) excludes nothing
+    # in the model, so the flat engine must stay eligible)
+    assert "layer1_0/down" not in r18 and "layer2_0/down" in r18
+    ok, exc = flat_engine_eligible("resnet18", ("layer1_0/down",))
+    assert ok and exc == frozenset()
     v2 = quantized_layer_paths("mobilenet_v2")
     assert "head" in v2 and "block0/expand" not in v2  # t=1 block: no expand
     assert "block16/project" in v2
@@ -88,6 +96,7 @@ def test_cifar_resnet20_56_dispatch():
 
     r20 = quantized_layer_paths("resnet20")
     assert "layer3_2/conv2" in r20 and "layer1_0/conv3" not in r20
+    assert "layer1_0/down" not in r20          # width-16 stem == stage width
     r56 = quantized_layer_paths("resnet56")
     assert "layer3_8/conv2" in r56
     for model in ("resnet20", "resnet56"):

@@ -91,6 +91,30 @@ def test_pack_batch_validates(monkeypatch):
         monkeypatch.setattr(native, "_PACK_NATIVE_MIN_BYTES", 1 << 62)
 
 
+def test_pack_batch_no_silent_broadcast_or_unsafe_cast(monkeypatch):
+    """np.stack semantics, not assignment semantics: a broadcastable-but-
+    different shape must raise (out[i] = im would silently broadcast
+    (4,4,1) across channels), and a float image must not be truncated
+    into a uint8 batch."""
+    for min_bytes in (0, 1 << 62):       # native and numpy paths
+        monkeypatch.setattr(native, "_PACK_NATIVE_MIN_BYTES", min_bytes)
+        with pytest.raises(ValueError):
+            native.pack_batch([np.ones((4, 4, 3), np.float32),
+                               np.full((4, 4, 1), 7.0, np.float32)])
+        with pytest.raises(ValueError):  # f32 -> u8 is not same_kind
+            native.pack_batch([np.zeros((4, 4, 3), np.uint8),
+                               np.ones((4, 4, 3), np.float32)])
+        with pytest.raises(ValueError):  # expected dtype pins the batch
+            native.pack_batch([np.ones((4, 4, 3), np.float32)],
+                              dtype=np.uint8)
+        # same_kind casts are fine: f64 requests into an f32 batch
+        out = native.pack_batch([np.full((2, 2, 1), 0.5, np.float64)],
+                                dtype=np.float32, shape=(2, 2, 1))
+        assert out.dtype == np.float32
+        np.testing.assert_array_equal(out, np.full((1, 2, 2, 1), 0.5,
+                                                   np.float32))
+
+
 def test_pack_batch_noncontiguous_sources(monkeypatch):
     """Sliced/transposed inputs are copied to contiguous before the native
     gather — output must still match np.stack."""

@@ -106,6 +106,81 @@ def test_forward_error_fails_futures_and_engine():
         eng.stop()
 
 
+def test_submit_validates_dtype_and_shape():
+    """Malformed requests fail their OWN caller at submit() — they must
+    never reach the scheduler, where one bad image would fail a whole
+    packed round (and desynchronize multi-host lockstep programs)."""
+    sm, sv = _lenet_serve()
+    eng = ServingEngine(sm, sv,
+                        mesh=make_mesh(dp=1, tp=1, devices=jax.devices()[:1]),
+                        batch_buckets=(4,), max_wait_ms=1.0)
+    try:
+        x = np.asarray(jax.random.normal(KEY, (28, 28, 1)))
+        eng.submit(x).result(timeout=60)
+        # same_kind casts are accepted (f64 request into an f32 engine)
+        eng.submit(x.astype(np.float64)).result(timeout=60)
+        with pytest.raises(ValueError):              # shape mismatch
+            eng.submit(np.zeros((28, 27, 1), np.float32))
+        with pytest.raises(ValueError):              # broadcastable != equal
+            eng.submit(np.zeros((28, 28, 3), np.float32))
+        assert eng.healthy                           # engine unharmed
+        eng.submit(x).result(timeout=60)
+    finally:
+        eng.stop()
+
+
+def test_submit_refuses_unsafe_cast_on_u8_engine():
+    """A float image submitted to a uint8-ingest engine is refused (not
+    silently truncated to zeros)."""
+    sm, sv = _lenet_serve()
+    eng = ServingEngine(sm, sv,
+                        mesh=make_mesh(dp=1, tp=1, devices=jax.devices()[:1]),
+                        batch_buckets=(4,), max_wait_ms=1.0,
+                        raw_dtype=np.uint8,
+                        forward_fn=lambda _v, x:
+                            jnp.zeros((int(x.shape[0]), 10)))
+    try:
+        eng.submit(np.zeros((28, 28, 1), np.uint8)).result(timeout=60)
+        with pytest.raises(ValueError):
+            eng.submit(np.zeros((28, 28, 1), np.float32) * 0.5)
+        assert eng.healthy
+    finally:
+        eng.stop()
+
+
+def test_pending_round_delivered_when_next_dispatch_fails():
+    """Pipeline: if round k+1 fails to DISPATCH, round k's already-computed
+    results must still be delivered to their callers (not failed with
+    k+1's unrelated error)."""
+    w = jax.random.normal(KEY, (784, 784))
+
+    def fwd(_v, x):
+        if int(x.shape[0]) == 8:
+            raise RuntimeError("boom8")
+        y = x.reshape(int(x.shape[0]), -1)
+        for _ in range(60):          # slow bucket-4 forward (~100ms CPU)
+            y = jnp.tanh(y @ w)
+        return y
+
+    sm, sv = _lenet_serve()
+    eng = ServingEngine(sm, sv,
+                        mesh=make_mesh(dp=1, tp=1, devices=jax.devices()[:1]),
+                        batch_buckets=(4, 8), max_wait_ms=2.0,
+                        forward_fn=fwd, pipeline=True)
+    try:
+        xs = np.asarray(jax.random.normal(KEY, (8, 28, 28, 1)))
+        eng.submit(xs[0]).result(timeout=120)        # warm bucket-4 compile
+        good = [eng.submit(xs[i]) for i in range(4)]
+        time.sleep(0.1)              # let round k dispatch (slow forward)
+        bad = [eng.submit(xs[i]) for i in range(8)]
+        for f in good:               # k's logits arrive despite k+1's crash
+            assert f.result(timeout=120).shape == (784,)
+        errs = sum(1 for f in bad if f.exception(timeout=120) is not None)
+        assert errs == 8
+    finally:
+        eng.stop()
+
+
 def test_stop_mid_stream_never_hangs_callers():
     sm, sv = _lenet_serve()
     eng = ServingEngine(sm, sv,
