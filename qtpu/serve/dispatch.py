@@ -139,7 +139,14 @@ def make_flat_forward(model: str, *, exclude: Sequence[str] = (),
 
     stem_excluded = "stem" in exc
     channels = 1 if image_size <= 28 else 3
-    normalize = (tuple(mean), tuple(std))
+    # expand scalar stats to the config's channel count here (the engines
+    # take the channel dim from the stats; a 3-tuple passed for a
+    # 1-channel config fails loudly on the broadcast below)
+    normalize = (
+        tuple(np.broadcast_to(np.asarray(mean, np.float32),
+                              (channels,)).tolist()),
+        tuple(np.broadcast_to(np.asarray(std, np.float32),
+                              (channels,)).tolist()))
     sdtype = stem_dtype if stem_dtype is not None else jnp.float32
 
     def build(sv):

@@ -138,7 +138,11 @@ class ServingEngine:
         self._queue: "queue.Queue[Optional[Tuple[np.ndarray, Future, float]]]" \
             = queue.Queue(maxsize=max_queue)
         self._stats_lock = threading.Lock()
-        self._latencies: list = []
+        # bounded: stats() reports over this window anyway, and an
+        # append-only list would grow without bound on a long-lived server
+        from collections import deque
+
+        self._latencies: "deque" = deque(maxlen=10_000)
         self._images = 0
         self._batches = 0
         self._occupancy = 0.0
@@ -176,14 +180,23 @@ class ServingEngine:
                     f"engine's ingest dtype {self._raw_dtype} (refusing "
                     "unsafe cast; for uint8 ingest send 0-255 pixels)")
             image = image.astype(self._raw_dtype)
-        if self._img_shape is None:
-            self._img_shape = tuple(image.shape)
-        elif tuple(image.shape) != self._img_shape:
-            raise ValueError(
-                f"request shape {tuple(image.shape)} does not match the "
-                f"engine's image shape {self._img_shape}")
+        # learn-or-validate atomically: two concurrent FIRST requests with
+        # different shapes must not both pass the None check (warmup() pins
+        # the shape up front on the CLI path; embedded engines learn here)
+        with self._stats_lock:
+            if self._img_shape is None:
+                self._img_shape = tuple(image.shape)
+            elif tuple(image.shape) != self._img_shape:
+                raise ValueError(
+                    f"request shape {tuple(image.shape)} does not match the "
+                    f"engine's image shape {self._img_shape}")
         fut: Future = Future()
         self._queue.put((image, fut, time.monotonic()))
+        # a blocking put can complete AFTER the scheduler died and ran its
+        # one-shot drain — re-check and drain again so no caller is left
+        # waiting on a future nothing will ever resolve
+        if self._stop.is_set():
+            self._drain_queue()
         return fut
 
     def predict(self, images: np.ndarray) -> np.ndarray:
@@ -209,7 +222,7 @@ class ServingEngine:
 
     def stats(self) -> Dict[str, float]:
         with self._stats_lock:
-            lat = sorted(self._latencies[-10_000:])
+            lat = sorted(self._latencies)     # deque(maxlen=10k) window
             n = len(lat)
             elapsed = time.monotonic() - self._started
             return {
@@ -501,6 +514,23 @@ class ServingEngine:
             self._drain_queue()
             return
 
+    @staticmethod
+    def _local_rows(out_g: jax.Array) -> np.ndarray:
+        """This host's batch rows from a P('data')-sharded global output.
+
+        The output is REPLICATED over the 'model' axis, so with tp>1 each
+        data row-range appears in ``addressable_shards`` once per model
+        shard — concatenating them raw would duplicate rows and hand row
+        range k's clients range 0's logits.  Keep exactly one shard per
+        distinct data offset, in offset order.
+        """
+        seen: Dict[int, Any] = {}
+        for s in out_g.addressable_shards:
+            k = s.index[0].start or 0
+            if k not in seen:
+                seen[k] = s.data
+        return np.concatenate([np.asarray(seen[k]) for k in sorted(seen)])
+
     def _run_batch_multihost(self, batch, n_max: int) -> None:
         n = len(batch)
         b = self._bucket_for(n_max * self._procs)     # global bucket
@@ -531,10 +561,7 @@ class ServingEngine:
         # (a host whose forward failed stops participating; peers block at
         # the next lockstep allgather — recovery is restart-on-failure per
         # SURVEY §5.3, local callers never hang)
-        # fetch only this host's rows (the global array is not addressable)
-        shards = sorted(out_g.addressable_shards,
-                        key=lambda s: s.index[0].start or 0)
-        out = np.concatenate([np.asarray(s.data) for s in shards])
+        out = self._local_rows(out_g)
         now = time.monotonic()
         with self._stats_lock:
             self._images += min(n, b_local)

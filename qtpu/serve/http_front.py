@@ -98,7 +98,12 @@ class _Handler(BaseHTTPRequestHandler):
         # are drained in bounded chunks so the client receives the 413 (an
         # immediate close surfaces as a broken pipe mid-send); absurd ones
         # (>4x the limit) just close.
-        n = int(self.headers.get("Content-Length", "0"))
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+        except ValueError:
+            self.close_connection = True
+            self._send_json(400, {"error": "invalid Content-Length header"})
+            return
         if n > self.max_body_bytes:
             self.close_connection = True
             if n <= 4 * self.max_body_bytes:

@@ -77,8 +77,9 @@ class MobileNetV1Int8Engine:
             lambda xq: self._forward(xq, pre_quantized=True))
         # raw-uint8 ingest: see ResNetInt8Engine — the wire form that
         # composes with an excluded fp32 stem (on-device normalize).
-        self._u8_norm = u8_normalize_coeffs(*(normalize or ((0.0,), (1.0,))),
-                                            3)
+        norm = normalize or ((0.0,), (1.0,))
+        self._u8_norm = u8_normalize_coeffs(
+            *norm, max(len(norm[0]), len(norm[1])))
         self.forward_u8 = jax.jit(
             lambda x8: self._forward(x8, raw_u8=True))
 

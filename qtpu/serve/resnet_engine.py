@@ -125,9 +125,12 @@ class ResNetInt8Engine:
         # stem — the form that composes with an EXCLUDED fp32 stem, where
         # there is no int8 ingest grid to quantize onto (VERDICT r4 #2).
         # ``normalize=(mean, std)``: the (x/255 - mean)/std convention shared
-        # with qtpu.data.native's host-side preprocessors.
-        in_ch = 3
-        self._u8_norm = _u8_coeffs(*(normalize or ((0.0,), (1.0,))), in_ch)
+        # with qtpu.data.native's host-side preprocessors.  Channel count is
+        # taken from the stats themselves (scalars broadcast over any C;
+        # per-channel stats must match the input's channel dim — a
+        # hardcoded 3 broke 1-channel configs).
+        norm = normalize or ((0.0,), (1.0,))
+        self._u8_norm = _u8_coeffs(*norm, max(len(norm[0]), len(norm[1])))
         self.forward_u8 = jax.jit(
             lambda x8: self._forward(x8, raw_u8=True))
 

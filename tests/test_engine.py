@@ -314,6 +314,49 @@ def test_engine_mixed_precision_overrides():
     assert agree == 1.0
 
 
+def test_engine_raw_u8_ingest_single_channel():
+    """u8 ingest on a 1-channel input: the normalize coefficients take
+    their channel count from the stats (a hardcoded 3 broadcast (B,H,W,1)
+    to (B,H,W,3) and broke the stem conv at trace time)."""
+    rng = np.random.default_rng(3)
+    x8 = rng.integers(0, 256, (2, 32, 32, 1), dtype=np.uint8)
+    mean, std = (0.5,), (0.25,)
+    xf = (x8.astype(np.float32) / 255.0 - 0.5) / 0.25
+    x = jnp.asarray(xf)
+    m = get_model("resnet20", num_classes=10)
+    m = m.clone(stage_sizes=(1, 1, 1))
+    qm = convert_model(m, QuantPolicy.int8_ptq(exclude=("stem*",)))
+    v = dict(jax.jit(qm.init, static_argnames="train")(KEY, x, train=True))
+    v = calibrate(qm, v, [x])
+    _, sv = freeze(qm, v, x)
+    arch = dict(stage_sizes=(1, 1, 1), width=16, bottleneck=False,
+                cifar_stem=True, num_classes=10)
+    eng = ResNetInt8Engine(sv, arch, normalize=(mean, std))
+    y_f32 = np.asarray(eng.forward(x))
+    y_u8 = np.asarray(eng.forward_u8(jnp.asarray(x8)))
+    assert y_u8.shape == y_f32.shape
+    rel = np.linalg.norm(y_f32 - y_u8) / (np.linalg.norm(y_f32) + 1e-9)
+    assert rel < 1e-4, rel
+
+
+def test_serving_local_rows_dedups_model_replicas():
+    """P('data')-sharded outputs are replicated over the 'model' axis: the
+    multihost resolve must return each data row-range ONCE (raw shard
+    concat handed range-0 logits to range-k clients when tp>1)."""
+    from qtpu.parallel import make_mesh
+    from qtpu.serve import ServingEngine
+    from qtpu.parallel.mesh import batch_sharding
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(dp=4, tp=2, devices=jax.devices()[:8])
+    rows = np.arange(8 * 5, dtype=np.float32).reshape(8, 5)
+    arr = jax.device_put(jnp.asarray(rows), batch_sharding(mesh))
+    assert len(arr.addressable_shards) == 8          # 4 data x 2 model
+    out = ServingEngine._local_rows(arr)
+    np.testing.assert_array_equal(out, rows)         # once each, in order
+
+
 def test_cifar_resnet_gluoncv_aliases():
     """gluoncv spellings resolve to the same factories (reference-API
     familiarity — the reference's CIFAR examples use these names)."""

@@ -133,6 +133,59 @@ def test_client_error_still_400():
         server.shutdown()
 
 
+def test_bad_content_length_header_400():
+    """A non-numeric Content-Length must get a 400 response, not an
+    uncaught ValueError that drops the connection with no reply."""
+    import http.client
+
+    server, url = _serve(FakeEngine())
+    try:
+        host = url.split("//")[1]
+        conn = http.client.HTTPConnection(host, timeout=30)
+        conn.putrequest("POST", "/predict", skip_accept_encoding=True)
+        conn.putheader("Content-Length", "abc")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "Content-Length" in json.loads(resp.read())["error"]
+        conn.close()
+    finally:
+        server.shutdown()
+
+
+def test_malformed_request_400_engine_survives():
+    """A real engine: one client's wrong-shape/wrong-dtype request gets a
+    400 (submit-time validation) and the engine KEEPS SERVING — before the
+    round-5 hardening a bad image reached the packed round and could kill
+    the scheduler (every later client then saw 503)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qtpu.parallel import make_mesh
+    from qtpu.serve import ServingEngine
+
+    eng = ServingEngine(None, {}, mesh=make_mesh(dp=1, tp=1,
+                                                 devices=jax.devices()[:1]),
+                        batch_buckets=(4,), max_wait_ms=1.0,
+                        forward_fn=lambda _v, x: jnp.sum(x, axis=(1, 2)))
+    server, url = _serve(eng)
+    try:
+        good = _npy_bytes(np.zeros((2, 4, 4, 1), np.float32))
+        assert _post(url, good).status == 200
+        with pytest.raises(urllib.error.HTTPError) as ei:   # wrong shape
+            _post(url, _npy_bytes(np.zeros((2, 4, 5, 1), np.float32)))
+        assert ei.value.code == 400
+        assert "shape" in json.loads(ei.value.read())["error"]
+        # f64 -> f32 is a same_kind cast: accepted, not rejected
+        r = _post(url, _npy_bytes(np.zeros((2, 4, 4, 1), np.float64) + 0.5))
+        assert r.status == 200
+        assert eng.healthy
+        assert _post(url, good).status == 200               # still serving
+    finally:
+        server.shutdown()
+        eng.stop()
+
+
 def test_metrics_prometheus_format():
     """/metrics exposes engine stats in Prometheus text exposition format
     with TYPE lines and a health gauge (SURVEY §5.5 observability)."""
