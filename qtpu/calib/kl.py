@@ -103,7 +103,10 @@ def kl_threshold(counts: np.ndarray, amax: float, bits: int = 8,
     for i in range(start, nbins + 1, stride):
         p = counts[:i].copy()
         outliers = counts[i:].sum()
-        if p[-1] + outliers == 0 and p.sum() == 0:
+        if p.sum() == 0 and outliers == 0:
+            # no |x| mass at all up to (or beyond) this candidate —
+            # degenerate distribution, skip (equivalent to the previous
+            # compound guard, stated directly)
             continue
         p[-1] += outliers
         q = _quantize_distribution(counts[:i], target)

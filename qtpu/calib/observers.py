@@ -97,7 +97,14 @@ def hist_update(state: State, x: Array) -> State:
     amax = jnp.maximum(state["amax"], 1e-12)
     ax = jnp.abs(x).astype(jnp.float32).reshape(-1)
     idx = jnp.clip((ax / amax * nbins).astype(jnp.int32), 0, nbins - 1)
-    counts = state["counts"].at[idx].add(1.0)
+    # Count the batch EXACTLY in int32 first, then accumulate as float32:
+    # scattering +1.0 straight into a float32 total silently saturates a
+    # bin at 2^24 (one ulp > 1), dropping mass on ImageNet-scale
+    # calibration sets and skewing the KL threshold.  Batch subtotals
+    # added to a large float32 running sum lose only ~2^-24 relative —
+    # harmless for a distribution.
+    bcounts = jnp.zeros((nbins,), jnp.int32).at[idx].add(1)
+    counts = state["counts"] + bcounts.astype(jnp.float32)
     return {**state, "counts": counts}
 
 

@@ -164,26 +164,18 @@ def _freeze_from_config(cfg, key, shape, load_state: Optional[str] = None,
     if load_state:
         from qtpu.utils import checkpoint as ckpt
 
+        from qtpu.transform.convert import deep_merge
+
         restored = ckpt.load(load_state)
         for col in restored:
             if col in qvars:
-                qvars[col] = _merge_trees(qvars[col], restored[col])
+                qvars[col] = deep_merge(qvars[col], restored[col])
     calib = [jnp.asarray(ds.images[i * cfg.batch_size:
                                    (i + 1) * cfg.batch_size])
              for i in range(cfg.calib_batches)]
     calib = [c for c in calib if len(c)]
     qvars = calibrate(qmodel, qvars, calib)
     return freeze(qmodel, qvars, x0)
-
-
-def _merge_trees(base, update):
-    """Deep-merge ``update`` into ``base`` (keeps quantizer-owned leaves)."""
-    if isinstance(base, dict) and isinstance(update, dict):
-        out = dict(base)
-        for k, v in update.items():
-            out[k] = _merge_trees(base[k], v) if k in base else v
-        return out
-    return update
 
 
 def main(argv=None) -> int:

@@ -8,7 +8,7 @@ observer EMAs update through Flax mutable collections in the same step.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +47,6 @@ def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
 
 
 def make_train_step(model: nn.Module, tx: optax.GradientTransformation,
-                    weight_decay_mask: Optional[Callable] = None,
                     mesh=None):
     """Jitted (state, x, y) -> (state, metrics) training step.
 
@@ -113,7 +112,9 @@ def evaluate(model: nn.Module, variables: Dict[str, Any], ds: Dataset,
     """(top-1, top-5) accuracy over a dataset."""
     step = make_eval_step(model)
     n = c1 = c5 = 0
-    for x, y in batches(ds, batch_size, shuffle=False, drop_remainder=True):
+    # keep the remainder batch: dropping it silently reported accuracy
+    # over a truncated eval set (at most one extra jit shape compiles)
+    for x, y in batches(ds, batch_size, shuffle=False, drop_remainder=False):
         t1, t5 = step(variables, jnp.asarray(x), jnp.asarray(y))
         c1 += int(t1); c5 += int(t5); n += len(y)
     if n == 0:

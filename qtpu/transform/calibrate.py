@@ -73,9 +73,27 @@ def calibrate(qmodel: nn.Module, variables: Variables,
     def range_step(vs, batch):
         _, mut = range_model.apply(vs, batch, mutable=[STATS_COL],
                                    **apply_kwargs)
+        # weight-only policies / fully-excluded models own no ActQuant
+        # variables, so the mutated collection may be absent entirely
+        if STATS_COL not in mut:
+            return vs
         return {**vs, STATS_COL: mut[STATS_COL]}
 
     variables = dict(variables)
+    # Reset observer state so calibrate() is idempotent: a second run
+    # (PTQ -> QAT -> re-calibrate is a normal loop) must not merge new
+    # ranges into stale min/max, nor add histogram mass on top of counts
+    # binned against the PREVIOUS run's hist_amax (two incompatible
+    # binnings summed would skew the KL threshold).
+    prior = unfreeze(variables.get(STATS_COL, {}))
+    if prior:
+        for p in _layer_paths(prior):
+            node = _get(prior, p)
+            if "count" in node:
+                node["count"] = jnp.zeros((), jnp.int32)
+            if "hist" in node:
+                node["hist"] = jnp.zeros_like(node["hist"])
+        variables[STATS_COL] = prior
     for b in batches:
         variables = range_step(variables, b)
 

@@ -67,19 +67,24 @@ def quantize_variables(qmodel: nn.Module, variables, sample, *, rng=None,
     return _deep_merge(fresh, dict(variables))
 
 
-def _deep_merge(fresh, trained):
+def deep_merge(fresh, trained):
     """Overlay trained leaves onto the fresh tree, keeping fresh-only paths.
 
     A shallow ``{**fresh, **trained}`` would drop quantizer-owned params the
     fp32 baseline never had (e.g. PACT's learnable ``pact_alpha`` lives in
-    the 'params' collection alongside the trained weights).
+    the 'params' collection alongside the trained weights).  Public: the
+    serve CLI reuses it for checkpoint restore (one merge helper, not two
+    drifting copies).
     """
     if isinstance(fresh, dict) and isinstance(trained, dict):
         out = dict(fresh)
         for k, v in trained.items():
-            out[k] = _deep_merge(fresh[k], v) if k in fresh else v
+            out[k] = deep_merge(fresh[k], v) if k in fresh else v
         return out
     return trained
+
+
+_deep_merge = deep_merge          # backward-compatible private alias
 
 
 def set_mode(model: nn.Module, mode: QuantMode) -> nn.Module:

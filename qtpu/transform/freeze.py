@@ -83,6 +83,11 @@ def freeze(qmodel: nn.Module, variables: Variables, sample: jax.Array,
                     dst[k] = src[k]
     if "params" in serve_vars:
         copy_matching(serve_vars["params"], unfreeze(params))
+    # Excluded ConvBN layers run fp32 WITH BatchNorm at serve time (and the
+    # flat engines fold their BN from variables['batch_stats'] at build) —
+    # they need the TRAINED running stats, not init's mean=0/var=1.
+    if "batch_stats" in serve_vars:
+        copy_matching(serve_vars["batch_stats"], unfreeze(batch_stats))
 
     qw = serve_vars.get("qweights", {})
     for path in _iter_qweight_paths(qw):
@@ -131,13 +136,28 @@ def freeze(qmodel: nn.Module, variables: Variables, sample: jax.Array,
         # heuristic (a genuine act_scale of exactly 1.0 must stay calibrated).
         aq = _get(quant_params, path + ("in_q",))
         calibrated = aq is not None and bool(aq.get("calibrated", False))
+        pact_alpha = _get(params, path + ("in_q", "pact_alpha"))
         if calibrated:
             a_scale = jnp.asarray(aq["act_scale"], jnp.float32)
             a_zp_unsigned = jnp.asarray(aq["act_zp"], jnp.float32)
+        elif pact_alpha is not None:
+            # PACT QAT never updates observer stats (the fake_quant_pact
+            # branch clips to the live α, qtpu/nn/act_quant.py) — the
+            # learned grid IS affine over [0, α], so freeze from α
+            # directly instead of falling through to empty stats (which
+            # silently produced a 1e-12 scale and garbage serving output).
+            a_scale, a_zp_unsigned = fq.affine_qparams(
+                jnp.zeros(()), jnp.maximum(jnp.asarray(pact_alpha), 1e-6),
+                spec.a_bits)
         else:
             st = _get(quant_stats, path + ("in_q",))
             if st is None:
                 raise ValueError(f"no activation stats for layer {path}")
+            if "count" in st and int(st["count"]) == 0:
+                raise ValueError(
+                    f"layer {path} was never calibrated and its observer "
+                    "saw no batches — run transform.calibrate (or a QAT "
+                    "epoch with an EMA observer) before freeze")
             if spec.act_symmetric:
                 amax = jnp.maximum(jnp.abs(st["min"]), jnp.abs(st["max"]))
                 a_scale = fq.symmetric_scale(amax, spec.a_bits)

@@ -146,3 +146,16 @@ class TestKL:
         s = jax.jit(obs.hist_update)(s, x)
         t = qkl.kl_threshold(np.asarray(s["counts"]), amax, bits=8, stride=8)
         assert 0 < t <= amax
+
+
+def test_hist_counts_do_not_saturate_at_2_24():
+    """Scattering +1.0 into a float32 bin silently saturates at 2^24
+    (one ulp > 1); the observer must count each batch exactly in int32
+    and accumulate subtotals instead."""
+    state = obs.hist_init(nbins=8)
+    state = obs.hist_set_range(state, jnp.float32(1.0))
+    # pretend a bin already holds 2^24 from earlier batches
+    state = {**state, "counts": state["counts"].at[0].set(2.0 ** 24)}
+    x = jnp.zeros((1000,), jnp.float32)      # all land in bin 0
+    state = obs.hist_update(state, x)
+    assert float(state["counts"][0]) == 2.0 ** 24 + 1000.0

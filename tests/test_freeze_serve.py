@@ -102,6 +102,90 @@ class TestFreezeServe:
                              / jnp.linalg.norm(y_fp))
         assert errs[8] < errs[4] < errs[2], errs
 
+    def test_freeze_carries_trained_bn_stats_for_excluded_layers(self):
+        """An EXCLUDED ConvBN serves fp32 WITH BatchNorm — freeze must copy
+        the TRAINED running stats into serve_vars (init's mean=0/var=1
+        silently mis-normalized the excluded stem; both the module path
+        and the flat engines read variables['batch_stats'])."""
+        import optax
+
+        from qtpu.train import create_train_state, make_train_step
+
+        m = get_model("resnet20", num_classes=10)
+        m = m.clone(stage_sizes=(1, 1))
+        x = jax.random.normal(KEY, (8, 16, 16, 3))
+        y = jnp.zeros((8,), jnp.int32)
+        qm = convert_model(m, QuantPolicy.int8_ptq(exclude=("stem*",)))
+        tx = optax.sgd(1e-2)
+        state = create_train_state(qm, KEY, x, tx)
+        step = make_train_step(qm, tx)
+        for _ in range(3):                   # move BN stats off init
+            state, _ = step(state, x, y)
+        qv = calibrate(qm, state.variables(), [x])
+        sm, sv = freeze(qm, qv, x)
+        trained_bn = qv["batch_stats"]["stem"]
+        frozen_bn = sv["batch_stats"]["stem"]
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(np.asarray(frozen_bn[k]),
+                                       np.asarray(trained_bn[k]))
+        assert float(jnp.abs(frozen_bn["mean"]).max()) > 0  # actually moved
+        # and the serve output tracks the trained quantized-eval output
+        y_sim = jax.jit(qm.apply, static_argnames="train")(
+            qv, x, train=False)
+        y_srv = jax.jit(sm.apply)(sv, x)
+        rel = float(jnp.linalg.norm(y_srv - y_sim) / jnp.linalg.norm(y_sim))
+        assert rel < 0.05, rel
+
+    def test_pact_qat_freeze_uses_alpha(self):
+        """PACT QAT never fills observer stats (it clips to the live α);
+        freeze must derive the serving grid from α — the stats fallback
+        produced scale=1e-12 and garbage logits with no error."""
+        pol = QuantPolicy.int8_qat_pact()
+        m = get_model("lenet5")
+        x = jax.random.normal(KEY, (4, 28, 28, 1))
+        qm = convert_model(m, pol)
+        qv = dict(jax.jit(qm.init, static_argnames="train")(KEY, x,
+                                                            train=True))
+        sm, sv = freeze(qm, qv, x)          # no calibrate — the QAT path
+        node = sv["qweights"]["conv1"]
+        alpha = float(qv["params"]["conv1"]["in_q"]["pact_alpha"])
+        assert float(node["act_scale"]) == pytest.approx(alpha / 255.0,
+                                                         rel=1e-5)
+        y_srv = np.asarray(jax.jit(sm.apply)(sv, x))
+        assert np.abs(y_srv).max() > 1e-3    # not collapsed to ~0
+
+    def test_calibrate_weight_only_policy_no_crash(self):
+        """Weight-only policies own no ActQuant variables; calibrate must
+        be a no-op, not a KeyError."""
+        pol = QuantPolicy(default=LayerQuantSpec(quantize_acts=False),
+                          mode=QuantMode.QUANT)
+        m = get_model("lenet5")
+        x = jax.random.normal(KEY, (4, 28, 28, 1))
+        qm = convert_model(m, pol)
+        qv = dict(jax.jit(qm.init)(KEY, x))
+        out = calibrate(qm, qv, [x])        # must not raise
+        assert "params" in out
+
+    def test_calibrate_is_idempotent(self):
+        """Re-calibrating with new data must reflect ONLY the new data
+        (stale min/max and histogram mass used to accumulate across
+        runs — the PTQ→QAT→re-freeze loop silently widened ranges)."""
+        m = get_model("lenet5")
+        wide = jax.random.normal(KEY, (8, 28, 28, 1)) * 10.0
+        narrow = jax.random.normal(jax.random.fold_in(KEY, 1),
+                                   (8, 28, 28, 1)) * 0.1
+        qm = convert_model(m, QuantPolicy.int8_ptq())
+        qv = dict(jax.jit(qm.init)(KEY, wide))
+        qv_wide_then_narrow = calibrate(qm, calibrate(qm, qv, [wide]),
+                                        [narrow])
+        qv_narrow_only = calibrate(qm, dict(jax.jit(qm.init)(KEY, wide)),
+                                   [narrow])
+        s1 = float(qv_wide_then_narrow["quant_params"]["conv1"]["in_q"]
+                   ["act_scale"])
+        s2 = float(qv_narrow_only["quant_params"]["conv1"]["in_q"]
+                   ["act_scale"])
+        assert s1 == pytest.approx(s2, rel=1e-6), (s1, s2)
+
     def test_excluded_layer_stays_fp32(self):
         pol = QuantPolicy.int8_ptq(exclude=("conv1", "fc3"))
         qm, qv, x = _calibrated_lenet(pol)
