@@ -136,10 +136,17 @@ def qconv2d_fused(x_q: Array, w_q: Array, *, act_scale: Array, act_zp: Array,
 
 def pad_for_conv(x_q: Array, kernel_hw: Tuple[int, int],
                  act_zp: Array) -> Array:
-    """Zero-point padding for SAME stride-1 conv (see qops zero-point note)."""
-    ph, pw = kernel_hw[0] // 2, kernel_hw[1] // 2
-    if ph == 0 and pw == 0:
+    """Zero-point padding for SAME stride-1 conv (see qops zero-point note).
+
+    Uses the XLA SAME split (lo = total//2, hi = total − lo) so even kernel
+    sizes pad asymmetrically like ``qops.qconv2d`` — symmetric k//2 padding
+    would shift even-kernel outputs by one pixel vs the oracle.
+    """
+    from qtpu.ops.qops import same_pads
+
+    pads = same_pads(x_q.shape[1:3], kernel_hw, (1, 1))
+    if all(p == (0, 0) for p in pads):
         return x_q
     return jax.lax.pad(
         x_q, jnp.asarray(act_zp, x_q.dtype),
-        ((0, 0, 0), (ph, ph, 0), (pw, pw, 0), (0, 0, 0)))
+        ((0, 0, 0), (*pads[0], 0), (*pads[1], 0), (0, 0, 0)))

@@ -59,17 +59,8 @@ def qconv2d_strided(x_q: Array, w_q: Array, *, act_scale: Array,
     assert (sh, sw) == (2, 2), "phase-split implemented for stride 2"
     B, H, W, Ci = x_q.shape
     KH, KW, _, Co = w_q.shape
-    if isinstance(padding, str):
-        pads = (qops.same_pads((H, W), (KH, KW), strides)
-                if padding.upper() == "SAME" else ((0, 0), (0, 0)))
-    else:
-        pads = tuple(padding)
-    xp = x_q
-    if any(p != (0, 0) for p in pads):
-        pad_val = jnp.asarray(act_zp, x_q.dtype)
-        xp = jax.lax.pad(xp, pad_val,
-                         ((0, 0, 0), (*pads[0], 0), (*pads[1], 0),
-                          (0, 0, 0)))
+    xp = qops.resolve_and_pad(x_q, (KH, KW), strides, padding,
+                              jnp.asarray(act_zp))
     Hp, Wp = xp.shape[1:3]
     OH = (Hp - KH) // 2 + 1
     OW = (Wp - KW) // 2 + 1

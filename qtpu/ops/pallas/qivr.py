@@ -41,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from qtpu.ops import qops
+from qtpu.ops.pallas.qstage import _auto_k, _edge_masks
 
 Array = jax.Array
 
@@ -50,11 +51,7 @@ def _kernel(scal_ref, x_ref, w1_ref, wd_ref, w3_ref,
             out_ref, pad_ref, *, H: int, W: int, NBLK: int):
     mb = x_ref.shape[0]
     OFF = W + 1                       # max |row shift| of a 3x3 tap
-    r = jax.lax.broadcasted_iota(jnp.int32, (mb, 1), 0)
-    hh = (r // W) % H
-    ww = r - (r // W) * W
-    hmask = {-1: hh >= 1, 0: None, 1: hh < H - 1}
-    wmask = {-1: ww >= 1, 0: None, 1: ww < W - 1}
+    hmask, wmask = _edge_masks(mb, H, W)
 
     x = x_ref[:]
     for blk in range(NBLK):
@@ -133,16 +130,7 @@ def qivr_fused(x_q: Array, *, w1: Array, wd: Array, w3: Array,
     if not k:
         # whole images per step: the (mb, E) int32/f32 temporaries dominate
         # (~12 bytes/row/E-lane over ~3 live temps) under vmem_mb.
-        cap = max(1, (vmem_mb * 2 ** 20 // 3) // (12 * E * img))
-        k = 1
-        while k * 2 <= min(B, cap) and B % (k * 2) == 0 and \
-                (k * 2) * img <= 4096:
-            k *= 2
-        # Mosaic block constraint: a (mb, C) block needs mb % 8 == 0 unless
-        # it covers the whole array (grid = 1) — keep doubling past the
-        # VMEM soft cap rather than emit an unlowerable block shape.
-        while k < B and (k * img) % 8 and B % (k * 2) == 0:
-            k *= 2
+        k = _auto_k(B, img, 12 * E, vmem_mb)
     k = min(k, B)
     assert B % k == 0, (B, k)
     mb = k * img

@@ -59,6 +59,24 @@ def _edge_masks(mb: int, H: int, W: int):
     return hmask, wmask
 
 
+def _auto_k(B: int, img: int, row_bytes: int, vmem_mb: int) -> int:
+    """Images-per-step tiling shared by qstage/qstage_proj/qivr.
+
+    Doubles k while the (k·img, C) block fits the VMEM soft budget
+    (``row_bytes`` per row over ~3 live temporaries) and the row count
+    stays MXU-friendly; then keeps doubling past the soft cap if needed to
+    satisfy the Mosaic block constraint (a (mb, C) block needs mb % 8 == 0
+    unless it covers the whole array, grid = 1)."""
+    cap = max(1, (vmem_mb * 2 ** 20 // 3) // (row_bytes * img))
+    k = 1
+    while k * 2 <= min(B, cap) and B % (k * 2) == 0 and \
+            (k * 2) * img <= 4096:
+        k *= 2
+    while k < B and (k * img) % 8 and B % (k * 2) == 0:
+        k *= 2
+    return min(k, B)
+
+
 def _conv3x3(a, w2_ref, base: int, pad_ref, hmask, wmask, zp_i8, W: int):
     """Nine row-shifted GEMMs: 3x3 SAME conv on flattened (mb, C) rows.
 
@@ -160,15 +178,7 @@ def qstage_fused(x_q: Array, *, w1: Array, w2: Array, w3: Array,
     if not k:
         # whole images per step: enough rows to fill the MXU, bounded by
         # the int32/f32 temporaries (~16 bytes/row/Cin-lane) under vmem_mb.
-        cap = max(1, (vmem_mb * 2 ** 20 // 3) // (16 * Cin * img))
-        k = 1
-        while k * 2 <= min(B, cap) and B % (k * 2) == 0 and \
-                (k * 2) * img <= 4096:
-            k *= 2
-        # Mosaic block constraint: a (mb, C) block needs mb % 8 == 0 unless
-        # it covers the whole array (grid = 1).
-        while k < B and (k * img) % 8 and B % (k * 2) == 0:
-            k *= 2
+        k = _auto_k(B, img, 16 * Cin, vmem_mb)
     k = min(k, B)
     assert B % k == 0, (B, k)
     mb = k * img
@@ -280,14 +290,7 @@ def qstage_proj_fused(x_q: Array, *, wp1: Array, wp2: Array, wp3: Array,
     B = M // img
     assert M == B * img, (M, h, w)
     if not k:
-        cmax = max(Cp, Co)
-        cap = max(1, (vmem_mb * 2 ** 20 // 3) // (16 * cmax * img))
-        k = 1
-        while k * 2 <= min(B, cap) and B % (k * 2) == 0 and \
-                (k * 2) * img <= 4096:
-            k *= 2
-        while k < B and (k * img) % 8 and B % (k * 2) == 0:
-            k *= 2
+        k = _auto_k(B, img, 16 * max(Cp, Co), vmem_mb)
     k = min(k, B)
     assert B % k == 0, (B, k)
     mb = k * img

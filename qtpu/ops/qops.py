@@ -38,6 +38,35 @@ def same_pads(in_spatial: Sequence[int], window: Sequence[int],
     return tuple(pads)
 
 
+def resolve_and_pad(x_q: Array, window: Sequence[int],
+                    strides: Sequence[int],
+                    padding: Union[str, Sequence[Tuple[int, int]]],
+                    zp: Optional[Array]) -> Array:
+    """Resolve SAME/VALID/explicit padding and zero-point-pad ``x_q``.
+
+    One definition (previously triplicated across qconv2d,
+    qdepthwise_shifted and qconv2d_strided, where any non-SAME string —
+    including typos — silently meant VALID).  Unknown strings raise.
+    """
+    if isinstance(padding, str):
+        p = padding.upper()
+        if p == "SAME":
+            pads = same_pads(x_q.shape[1:3], window, strides)
+        elif p == "VALID":
+            pads = ((0, 0), (0, 0))
+        else:
+            raise ValueError(f"unknown padding {padding!r} "
+                             "(use 'SAME', 'VALID', or explicit (lo,hi) pairs)")
+    else:
+        pads = tuple(padding)
+    if any(p != (0, 0) for p in pads):
+        pad_val = (jnp.zeros((), x_q.dtype) if zp is None
+                   else zp.astype(x_q.dtype))
+        x_q = jax.lax.pad(x_q, pad_val,
+                          ((0, 0, 0), (*pads[0], 0), (*pads[1], 0), (0, 0, 0)))
+    return x_q
+
+
 def qconv2d(x_q: Array, w_q: Array, *, strides: Tuple[int, int] = (1, 1),
             padding: Union[str, Sequence[Tuple[int, int]]] = "SAME",
             groups: int = 1, zp: Optional[Array] = None) -> Array:
@@ -47,17 +76,7 @@ def qconv2d(x_q: Array, w_q: Array, *, strides: Tuple[int, int] = (1, 1),
     padding; pass None for symmetric activations (pad with 0).
     """
     debug.check_int_inputs(x_q, w_q, what="qconv2d")
-    if isinstance(padding, str) and padding.upper() == "SAME":
-        pads = same_pads(x_q.shape[1:3], w_q.shape[:2], strides)
-    elif isinstance(padding, str):
-        pads = ((0, 0), (0, 0))
-    else:
-        pads = tuple(padding)
-    if any(p != (0, 0) for p in pads):
-        pad_val = (jnp.zeros((), x_q.dtype) if zp is None
-                   else zp.astype(x_q.dtype))
-        x_q = jax.lax.pad(x_q, pad_val,
-                          ((0, 0, 0), (*pads[0], 0), (*pads[1], 0), (0, 0, 0)))
+    x_q = resolve_and_pad(x_q, w_q.shape[:2], strides, padding, zp)
     return jax.lax.conv_general_dilated(
         x_q, w_q, window_strides=strides, padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -83,17 +102,7 @@ def qdepthwise_shifted(x_q: Array, w_q: Array, *,
     debug.check_int_inputs(x_q, w_q, what="qdepthwise_shifted")
     kh, kw, i_dim, c = w_q.shape
     assert i_dim == 1 and c == x_q.shape[-1], (w_q.shape, x_q.shape)
-    if isinstance(padding, str) and padding.upper() == "SAME":
-        pads = same_pads(x_q.shape[1:3], (kh, kw), strides)
-    elif isinstance(padding, str):
-        pads = ((0, 0), (0, 0))
-    else:
-        pads = tuple(padding)
-    if any(p != (0, 0) for p in pads):
-        pad_val = (jnp.zeros((), x_q.dtype) if zp is None
-                   else zp.astype(x_q.dtype))
-        x_q = jax.lax.pad(x_q, pad_val,
-                          ((0, 0, 0), (*pads[0], 0), (*pads[1], 0), (0, 0, 0)))
+    x_q = resolve_and_pad(x_q, (kh, kw), strides, padding, zp)
     sh, sw = strides
     hp, wp = x_q.shape[1:3]
     ho, wo = (hp - kh) // sh + 1, (wp - kw) // sw + 1
@@ -212,7 +221,9 @@ def epilogue_coeffs(*, act_scale: Array, act_zp: Array, w_scale: Array,
             C = jnp.asarray(res_scale, jnp.float32)
             if res_zp is not None:
                 B0 = B0 - jnp.asarray(res_zp, jnp.float32) * C
-        co = EpilogueCoeffs(A=A0.reshape(n), B=B0.reshape(n), C=C,
+        # broadcast_to: per-tensor (scalar) w_scale gives a scalar A
+        co = EpilogueCoeffs(A=jnp.broadcast_to(A0, (n,)),
+                            B=jnp.broadcast_to(B0, (n,)), C=C,
                             lo=jnp.float32(0), hi=jnp.float32(0))
         return co, EpilogueMode(False, 0.0, relu, act_max)
     inv = 1.0 / jnp.maximum(jnp.asarray(requant_scale, jnp.float32), 1e-12)
@@ -240,7 +251,8 @@ def epilogue_coeffs(*, act_scale: Array, act_zp: Array, w_scale: Array,
         if act_max is not None:
             hi = jnp.minimum(hi, jnp.round(act_max * inv))
         shift = 0.0
-    co = EpilogueCoeffs(A=A.reshape(n), B=B.reshape(n), C=C,
+    co = EpilogueCoeffs(A=jnp.broadcast_to(A, (n,)),
+                        B=jnp.broadcast_to(B, (n,)), C=C,
                         lo=jnp.asarray(lo, jnp.float32), hi=hi)
     return co, EpilogueMode(True, shift, relu, act_max)
 

@@ -114,6 +114,14 @@ def spatial_conv2d(x: Array, w: Array, mesh: Mesh, *,
     if phi != phi_pad:
         raise ValueError(f"unsupported pad geometry: phi={phi} != global "
                          f"SAME pad {phi_pad} (H={H}, kh={kh}, s={strides[0]})")
+    if max(plo, phi) > H // n:
+        # a halo larger than one neighbor's shard would need multi-hop
+        # exchange; without this check the slice silently under-fills and
+        # the failure surfaces as an opaque GSPMD assertion inside jit
+        raise ValueError(
+            f"halo rows ({max(plo, phi)}) exceed the local shard height "
+            f"({H // n}): kernel {kh} needs H/sp > {max(plo, phi)} — use "
+            f"fewer spatial shards or a larger H")
     integer = jnp.issubdtype(x.dtype, jnp.integer)
     if integer:
         debug.check_int_inputs(x, w, what="spatial_conv2d")
@@ -160,6 +168,10 @@ def spatial_max_pool(x: Array, mesh: Mesh, *, window: Tuple[int, int] = (3, 3),
     if phi != phi_pad:
         raise ValueError(f"unsupported pool geometry (H={H}, kh={kh}, "
                          f"s={strides[0]})")
+    if max(plo, phi) > H // n:
+        raise ValueError(
+            f"halo rows ({max(plo, phi)}) exceed the local shard height "
+            f"({H // n}) (window {kh}, sp={n})")
     ident = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
              else jnp.iinfo(x.dtype).min)
     ident = jnp.asarray(ident, x.dtype)

@@ -94,6 +94,15 @@ def freeze(qmodel: nn.Module, variables: Variables, sample: jax.Array,
         spec = policy.spec_for("/".join(path))
         if spec is None:  # excluded layer: stays fp32
             continue
+        if not spec.quantize_weights:
+            # the integer SERVE path has no fp32-weight form: freezing
+            # would quantize a kernel the QAT/PTQ simulation never
+            # quantized, silently diverging from the validated sim —
+            # refuse loudly (exclude the layer to serve it fp32)
+            raise ValueError(
+                f"layer {'/'.join(path)} has quantize_weights=False; the "
+                "integer serving path cannot represent fp32 weights — "
+                "exclude the layer instead")
         layer_params = _get(params, path)
         if layer_params is None or "kernel" not in layer_params:
             raise ValueError(f"no trained kernel for quantized layer {path}")

@@ -357,6 +357,30 @@ def test_serving_local_rows_dedups_model_replicas():
     np.testing.assert_array_equal(out, rows)         # once each, in order
 
 
+def test_engine_per_tensor_weight_scales():
+    """per_channel=False freezes SCALAR w_scales; the folded epilogues must
+    broadcast them (A0.reshape(n) crashed on every fused serving path)."""
+    from qtpu.nn.config import LayerQuantSpec, QuantMode
+
+    m = get_model("resnet50", num_classes=10, cifar_stem=True)
+    m = m.clone(stage_sizes=(1, 1, 1, 1))
+    x = jax.random.normal(KEY, (4, 32, 32, 3))
+    pol = QuantPolicy(default=LayerQuantSpec(per_channel=False),
+                      mode=QuantMode.QUANT)
+    qm = convert_model(m, pol)
+    v = dict(jax.jit(qm.init, static_argnames="train")(KEY, x, train=True))
+    v = calibrate(qm, v, [x])
+    sm, sv = freeze(qm, v, x)
+    assert sv["qweights"]["layer1_0"]["conv1"]["w_scale"].shape == ()
+    y_module = jax.jit(sm.apply)(sv, x)
+    arch = dict(stage_sizes=(1, 1, 1, 1), width=64, bottleneck=True,
+                cifar_stem=True, num_classes=10)
+    y_eng = ResNetInt8Engine(sv, arch).forward(x)
+    rel = float(jnp.linalg.norm(y_eng - y_module) /
+                jnp.linalg.norm(y_module))
+    assert rel < 0.10, rel
+
+
 def test_cifar_resnet_gluoncv_aliases():
     """gluoncv spellings resolve to the same factories (reference-API
     familiarity — the reference's CIFAR examples use these names)."""

@@ -154,6 +154,16 @@ class TestFreezeServe:
         y_srv = np.asarray(jax.jit(sm.apply)(sv, x))
         assert np.abs(y_srv).max() > 1e-3    # not collapsed to ~0
 
+    def test_freeze_refuses_unquantized_weights(self):
+        """quantize_weights=False has no integer serving form — freeze must
+        refuse loudly instead of quantizing a kernel the QAT/PTQ sim never
+        quantized (silent accuracy divergence)."""
+        pol = QuantPolicy(default=LayerQuantSpec(quantize_weights=False),
+                          mode=QuantMode.QUANT)
+        qm, qv, x = _calibrated_lenet(pol)
+        with pytest.raises(ValueError, match="quantize_weights"):
+            freeze(qm, qv, x)
+
     def test_calibrate_weight_only_policy_no_crash(self):
         """Weight-only policies own no ActQuant variables; calibrate must
         be a no-op, not a KeyError."""

@@ -89,3 +89,17 @@ def test_5x5_kernel():
     ref = _folded_ref(xq, wq, zp, act_scale=jnp.float32(0.01),
                       w_scale=ws, colsum=cs, bias=b)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+
+def test_pad_for_conv_even_kernel_matches_same():
+    """Even kernels pad asymmetrically under XLA SAME (lo=total//2,
+    hi=total-lo); symmetric k//2 padding silently shifted the output by
+    one pixel vs the qops oracle."""
+    rng = np.random.default_rng(0)
+    xq = jnp.asarray(rng.integers(-100, 100, (2, 9, 9, 4)), jnp.int8)
+    zp = jnp.asarray(3, jnp.int32)
+    for k in ((4, 4), (2, 2), (3, 3), (5, 5)):
+        padded = pad_for_conv(xq, k, zp)
+        oracle = qops.resolve_and_pad(xq, k, (1, 1), "SAME", zp)
+        assert padded.shape == oracle.shape, (k, padded.shape, oracle.shape)
+        np.testing.assert_array_equal(np.asarray(padded), np.asarray(oracle))

@@ -82,6 +82,17 @@ def test_spatial_rejects_bad_geometry():
         spatial_conv2d(x, w, mesh)
 
 
+def test_spatial_rejects_halo_larger_than_shard():
+    """A 7x7 stride-1 kernel on 2-row local shards needs 3 halo rows —
+    more than one neighbor owns.  Must be a clear ValueError, not the
+    opaque GSPMD assertion it used to die with inside jit."""
+    mesh = make_spatial_mesh(sp=4, dp=2)
+    x = jnp.zeros((1, 8, 16, 4), jnp.int8)     # local H = 2
+    w = jnp.zeros((7, 7, 4, 4), jnp.int8)
+    with pytest.raises(ValueError, match="halo"):
+        spatial_conv2d(x, w, mesh, strides=(1, 1))
+
+
 def test_spatial_max_pool_and_stem_chain():
     """Full spatially-sharded ResNet stem: 7x7/2 conv -> 3x3/2 max-pool ->
     3x3 conv, every op H-sharded end to end, vs the single-device oracle."""
